@@ -1,0 +1,208 @@
+"""calc_similarity family tests against torch oracles built from the documented
+reference semantics (SURVEY.md section 2.1).  torch (CPU) is a test-only oracle
+dependency; the framework itself never imports it on the compute path."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from vit_reranking_tpu.ops import (
+    calc_distance,
+    calc_similarity,
+    calc_similarity_featvit,
+    calc_similarity_mhvit,
+    calc_similarity_rollout,
+    global_similarity,
+)
+
+
+def torch_sinkhorn(K, u, v, iters=100, thresh=1e-1):
+    r, c = torch.ones_like(u), torch.ones_like(v)
+    for _ in range(iters):
+        r0 = r
+        r = u / torch.einsum("bmn,bn->bm", K, c)
+        c = v / torch.einsum("bmn,bm->bn", K, r)
+        if (r - r0).abs().mean().item() < thresh:
+            break
+    return r.unsqueeze(-1) * K * c.unsqueeze(-2)
+
+
+def torch_calc_similarity_oracle(
+    anchor, anchor_center, fb, fb_center, use_uniform=False, use_inverse=False,
+    temperature=1.0, use_cls_token=True, ot_temp=0.05, use_minus=False, use_soft=False
+):
+    """Oracle reimplementation of the stage-1 semantics from the survey."""
+    if use_minus:
+        use_inverse = False
+    if not use_cls_token:
+        anchor_center = anchor.mean(dim=1)
+        fb_center = fb.mean(dim=-1)
+    anchor_center = F.normalize(anchor_center, p=2, dim=-1)
+    fb_center = F.normalize(fb_center, p=2, dim=-1)
+    N, _, R = fb.shape
+    sim = torch.einsum("cm,ncs->nsm", anchor, fb)
+    K = torch.exp(-(1.0 - sim) / ot_temp)
+    att_u = torch.einsum("c,ncr->nr", anchor_center, fb)
+    att_v = torch.einsum("cr,nc->nr", anchor, fb_center)
+    if use_uniform:
+        u = torch.full((N, R), 1.0 / R)
+        v = torch.full((N, R), 1.0 / R)
+    elif use_minus:
+        u = 1 - F.relu(att_u)
+        u = u / (u.sum(1, keepdim=True) + 1e-5)
+        v = 1 - F.relu(att_v)
+        v = v / (v.sum(1, keepdim=True) + 1e-5)
+    elif use_inverse:
+        u = torch.exp(-F.relu(att_u) / temperature)
+        u = u / (u.sum(1, keepdim=True) + 1e-5)
+        v = torch.exp(-F.relu(att_v) / temperature)
+        v = v / (v.sum(1, keepdim=True) + 1e-5)
+    elif use_soft:
+        u = F.softmax(att_u, -1)
+        u = u / (u.sum(1, keepdim=True) + 1e-5)
+        v = F.softmax(att_v, -1)
+        v = v / (v.sum(1, keepdim=True) + 1e-5)
+    else:
+        u = F.relu(att_u)
+        u = u / (u.sum(1, keepdim=True) + 1e-5)
+        v = F.relu(att_v)
+        v = v / (v.sum(1, keepdim=True) + 1e-5)
+    T = torch_sinkhorn(K, u, v)
+    return torch.sum(T * sim, dim=(1, 2))
+
+
+def make_features(rng, n=10, c=16, r=49):
+    anchor = rng.standard_normal((c, r)).astype(np.float32)
+    anchor /= np.linalg.norm(anchor, axis=0, keepdims=True)
+    fb = rng.standard_normal((n, c, r)).astype(np.float32)
+    fb /= np.linalg.norm(fb, axis=1, keepdims=True)
+    ac = rng.standard_normal((c,)).astype(np.float32)
+    ac /= np.linalg.norm(ac)
+    fc = rng.standard_normal((n, c)).astype(np.float32)
+    fc /= np.linalg.norm(fc, axis=-1, keepdims=True)
+    return anchor, ac, fb, fc
+
+
+def test_stage0_is_inner_product():
+    rng = np.random.default_rng(0)
+    _, ac, _, fc = make_features(rng)
+    sim, aux = calc_similarity(None, jnp.asarray(ac), None, jnp.asarray(fc), stage=0)
+    assert aux is None
+    np.testing.assert_allclose(np.asarray(sim), fc @ ac, rtol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [
+        dict(),
+        dict(use_uniform=True),
+        dict(use_inverse=True, temperature=0.1),
+        dict(use_minus=True),
+        dict(use_soft=True),
+        dict(use_cls_token=False),
+    ],
+)
+def test_stage1_matches_torch_oracle(flags):
+    rng = np.random.default_rng(42)
+    use_cls_token = flags.pop("use_cls_token", True)
+    anchor, ac, fb, fc = make_features(rng, n=8, c=12, r=9)
+    sim, aux = calc_similarity(
+        jnp.asarray(anchor), jnp.asarray(ac), jnp.asarray(fb), jnp.asarray(fc),
+        stage=1, use_cls_token=use_cls_token, **flags,
+    )
+    ref = torch_calc_similarity_oracle(
+        torch.tensor(anchor), torch.tensor(ac), torch.tensor(fb), torch.tensor(fc),
+        use_cls_token=use_cls_token, **flags,
+    )
+    np.testing.assert_allclose(np.asarray(sim), ref.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_stage1_mean_center_path():
+    rng = np.random.default_rng(7)
+    anchor, ac, fb, fc = make_features(rng, n=6, c=8, r=4)
+    sim, _ = calc_similarity(
+        jnp.asarray(anchor), jnp.asarray(ac), jnp.asarray(fb), jnp.asarray(fc),
+        stage=1, use_cls_token=False,
+    )
+    ref = torch_calc_similarity_oracle(
+        torch.tensor(anchor), torch.tensor(ac), torch.tensor(fb), torch.tensor(fc),
+        use_cls_token=False,
+    )
+    np.testing.assert_allclose(np.asarray(sim), ref.numpy(), rtol=2e-3, atol=2e-4)
+
+
+def test_rollout_marginals():
+    rng = np.random.default_rng(3)
+    anchor, ac, fb, fc = make_features(rng, n=5, c=8, r=9)
+    a_roll = rng.uniform(-0.2, 1.0, (9,)).astype(np.float32)
+    f_roll = rng.uniform(-0.2, 1.0, (5, 9)).astype(np.float32)
+    sim, aux = calc_similarity_rollout(
+        jnp.asarray(ac), jnp.asarray(anchor), jnp.asarray(a_roll),
+        jnp.asarray(fc), jnp.asarray(fb), jnp.asarray(f_roll), stage=1,
+    )
+    # oracle: u = relu(fb_rollout)/sum, v = relu(anchor_rollout)/sum
+    S = torch.einsum("cm,ncs->nsm", torch.tensor(anchor), torch.tensor(fb))
+    K = torch.exp(-(1 - S) / 0.05)
+    u = F.relu(torch.tensor(f_roll))
+    u = u / (u.sum(1, keepdim=True) + 1e-5)
+    v = F.relu(torch.tensor(a_roll)).expand(5, -1)
+    v = v / (v.sum(1, keepdim=True) + 1e-5)
+    T = torch_sinkhorn(K, u, v)
+    ref = torch.sum(T * S, dim=(1, 2))
+    np.testing.assert_allclose(np.asarray(sim), ref.numpy(), rtol=2e-3, atol=2e-4)
+    # partial OT path shape: extended plan returned in aux
+    sim_p, aux_p = calc_similarity_rollout(
+        jnp.asarray(ac), jnp.asarray(anchor), jnp.asarray(a_roll),
+        jnp.asarray(fc), jnp.asarray(fb), jnp.asarray(f_roll), stage=1, ot_part=0.5,
+    )
+    assert aux_p.T.shape == (5, 10, 10)
+    assert np.all(np.isfinite(np.asarray(sim_p)))
+
+
+def test_featvit_cls_split():
+    rng = np.random.default_rng(5)
+    n, c, rp1 = 6, 8, 10
+    a = rng.standard_normal((c, rp1)).astype(np.float32)
+    a /= np.linalg.norm(a, axis=0, keepdims=True)
+    f = rng.standard_normal((n, c, rp1)).astype(np.float32)
+    f /= np.linalg.norm(f, axis=1, keepdims=True)
+    sim0, _ = calc_similarity_featvit(jnp.asarray(a), jnp.asarray(f), stage=0)
+    np.testing.assert_allclose(np.asarray(sim0), f[:, :, 0] @ a[:, 0], rtol=1e-5)
+    sim1, aux = calc_similarity_featvit(jnp.asarray(a), jnp.asarray(f), stage=1)
+    assert sim1.shape == (n,)
+    assert np.all(np.isfinite(np.asarray(sim1)))
+
+
+def test_mhvit_runs_and_is_finite():
+    rng = np.random.default_rng(6)
+    nhead, ndim, r = 4, 8, 9
+    c = nhead * ndim
+    a = rng.standard_normal((c, r + 1)).astype(np.float32)
+    a /= np.linalg.norm(a, axis=0, keepdims=True)
+    f = rng.standard_normal((5, c, r + 1)).astype(np.float32)
+    f /= np.linalg.norm(f, axis=1, keepdims=True)
+    sim, _ = calc_similarity_mhvit(jnp.asarray(a), jnp.asarray(f), stage=1, nhead=nhead)
+    assert sim.shape == (5,)
+    assert np.all(np.isfinite(np.asarray(sim)))
+
+
+def test_calc_distance_stage0():
+    rng = np.random.default_rng(8)
+    ac = rng.standard_normal((16,)).astype(np.float32)
+    fc = rng.standard_normal((7, 16)).astype(np.float32)
+    d, _ = calc_distance(None, jnp.asarray(ac), None, jnp.asarray(fc), stage=0)
+    ref = np.sqrt(((ac[None] - fc) ** 2).sum(-1) + 1e-6)
+    np.testing.assert_allclose(np.asarray(d), ref, rtol=1e-5)
+
+
+def test_calc_distance_stage1_finite_and_shape():
+    rng = np.random.default_rng(9)
+    anchor, ac, fb, fc = make_features(rng, n=4, c=8, r=9)
+    d, aux = calc_distance(
+        jnp.asarray(anchor), jnp.asarray(ac), jnp.asarray(fb), jnp.asarray(fc),
+        stage=1, use_cls_token=True,
+    )
+    assert d.shape == (4,)
+    assert np.all(np.isfinite(np.asarray(d)))
