@@ -1,0 +1,139 @@
+"""Torch -> JAX/Flax weight converters.
+
+Required to hit Recall parity with pretrained backbones (SURVEY.md section 5
+"checkpoint/resume"): the reference consumes ImageNet/DeiT/Swin/NetVLAD torch
+checkpoints (reference architectures/cvt.py:695-722, vit.py:31-40,
+swin.py:23-37, patchnetvlad.py:370-374).  These functions translate a torch
+``state_dict`` (loaded with ``torch.load(..., map_location='cpu')`` — torch is
+an optional host-side dependency used only here) into the Flax param /
+batch_stats pytrees of the models in ``vit_reranking_tpu.models``.
+
+Layout rules:
+  torch Conv2d weight  (O, I, kh, kw)  -> flax Conv kernel (kh, kw, I, O)
+  torch depthwise conv (C, 1, kh, kw)  -> flax kernel (kh, kw, 1, C)
+  torch Linear weight  (O, I)          -> flax Dense kernel (I, O)
+  torch LayerNorm weight/bias          -> flax scale/bias
+  torch BatchNorm weight/bias/running_mean/running_var
+       -> params scale/bias + batch_stats mean/var
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor -> numpy (works for plain numpy too)."""
+    if hasattr(t, "detach"):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _conv_kernel(w) -> np.ndarray:
+    return _np(w).transpose(2, 3, 1, 0)
+
+
+def _dense_kernel(w) -> np.ndarray:
+    return _np(w).T
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def strip_prefix(state_dict: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    """Drop a leading prefix (e.g. 'model.' or 'module.') from every key.
+
+    Mirrors the reference's module-prefix stripping (utilities/misc.py:58-62).
+    """
+    out = {}
+    for k, v in state_dict.items():
+        out[k[len(prefix):] if k.startswith(prefix) else k] = v
+    return out
+
+
+def convert_cvt(
+    state_dict: Mapping[str, Any],
+    num_stages: int = 3,
+    depths=(1, 2, 10),
+    include_head: bool = True,
+) -> Tuple[Dict, Dict]:
+    """Official CvT-13 checkpoint -> (params, batch_stats) for
+    models.cvt.ConvolutionalVisionTransformer nested under a wrapper.
+
+    Keys follow the reference naming (architectures/cvt.py:556-606): e.g.
+    ``stage2.blocks.9.attn.conv_proj_q.conv.weight``.  Returns the pytrees for
+    the ``trunk`` scope plus top-level ``norm``/``head`` if present.
+    """
+    sd = strip_prefix(dict(state_dict), "model.")
+    params: Dict = {}
+    stats: Dict = {}
+
+    for i in range(num_stages):
+        sp = f"stage{i}"
+        _set(params, ("trunk", sp, "patch_embed_proj", "kernel"), _conv_kernel(sd[f"{sp}.patch_embed.proj.weight"]))
+        _set(params, ("trunk", sp, "patch_embed_proj", "bias"), _np(sd[f"{sp}.patch_embed.proj.bias"]))
+        _set(params, ("trunk", sp, "patch_embed_norm", "ln", "scale"), _np(sd[f"{sp}.patch_embed.norm.weight"]))
+        _set(params, ("trunk", sp, "patch_embed_norm", "ln", "bias"), _np(sd[f"{sp}.patch_embed.norm.bias"]))
+        if f"{sp}.cls_token" in sd:
+            _set(params, ("trunk", sp, "cls_token"), _np(sd[f"{sp}.cls_token"]))
+
+        for j in range(depths[i]):
+            bp = f"{sp}.blocks.{j}"
+            fp = ("trunk", sp, f"block{j}")
+            for ln in ("norm1", "norm2"):
+                _set(params, fp + (ln, "ln", "scale"), _np(sd[f"{bp}.{ln}.weight"]))
+                _set(params, fp + (ln, "ln", "bias"), _np(sd[f"{bp}.{ln}.bias"]))
+            for proj in ("conv_proj_q", "conv_proj_k", "conv_proj_v"):
+                _set(params, fp + ("attn", proj, "conv", "kernel"), _conv_kernel(sd[f"{bp}.attn.{proj}.conv.weight"]))
+                _set(params, fp + ("attn", proj, "bn", "scale"), _np(sd[f"{bp}.attn.{proj}.bn.weight"]))
+                _set(params, fp + ("attn", proj, "bn", "bias"), _np(sd[f"{bp}.attn.{proj}.bn.bias"]))
+                _set(stats, fp + ("attn", proj, "bn", "mean"), _np(sd[f"{bp}.attn.{proj}.bn.running_mean"]))
+                _set(stats, fp + ("attn", proj, "bn", "var"), _np(sd[f"{bp}.attn.{proj}.bn.running_var"]))
+            for lin in ("proj_q", "proj_k", "proj_v", "proj"):
+                _set(params, fp + ("attn", lin, "kernel"), _dense_kernel(sd[f"{bp}.attn.{lin}.weight"]))
+                if f"{bp}.attn.{lin}.bias" in sd:
+                    _set(params, fp + ("attn", lin, "bias"), _np(sd[f"{bp}.attn.{lin}.bias"]))
+            for fc in ("fc1", "fc2"):
+                _set(params, fp + ("mlp", fc, "kernel"), _dense_kernel(sd[f"{bp}.mlp.{fc}.weight"]))
+                _set(params, fp + ("mlp", fc, "bias"), _np(sd[f"{bp}.mlp.{fc}.bias"]))
+
+    if "norm.weight" in sd:
+        _set(params, ("norm", "ln", "scale"), _np(sd["norm.weight"]))
+        _set(params, ("norm", "ln", "bias"), _np(sd["norm.bias"]))
+    if include_head and "head.weight" in sd:
+        _set(params, ("head", "kernel"), _dense_kernel(sd["head.weight"]))
+        _set(params, ("head", "bias"), _np(sd["head.bias"]))
+    if "last_linear.weight" in sd:
+        # DIML 1x1-conv head -> Dense over channels (O, I, 1, 1) -> (I, O)
+        w = _np(sd["last_linear.weight"])
+        _set(params, ("last_linear", "kernel"), w[:, :, 0, 0].T)
+        _set(params, ("last_linear", "bias"), _np(sd["last_linear.bias"]))
+    return params, stats
+
+
+def merge_params(base: Dict, override: Dict) -> Dict:
+    """Recursively merge converted weights into an init pytree (override wins).
+
+    Keeps randomly-initialized leaves for anything the checkpoint lacks — the
+    same behavior as the reference's ``load_state_dict(strict=False)`` with a
+    fresh head (architectures/cvt.py:713-722).
+    """
+    out = dict(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = merge_params(out[k], v)
+        else:
+            if k in out and hasattr(out[k], "shape"):
+                ov = np.asarray(v)
+                if tuple(out[k].shape) != tuple(ov.shape):
+                    raise ValueError(
+                        f"shape mismatch for {k}: init {tuple(out[k].shape)} vs ckpt {tuple(ov.shape)}"
+                    )
+            out[k] = v
+    return out

@@ -1,0 +1,134 @@
+"""Attention rollout: per-block filtering/pooling + cumulative joint attention.
+
+TPU-native re-design of reference evaluation/eval_cvt_diml.py:54-146.  The
+reference materializes every block's raw (T x T) attention map on the host and
+loops in Python; here each block's map is filtered and pooled to the target
+grid *inside the compiled forward* (a (B, 49, 49) tensor per block instead of
+(B, heads, 3136, 3136)), and the cumulative matmul chain runs as a lax.scan.
+
+Known quirk in the reference NOT replicated by default: its discard step
+(`new_attn[:, indices_y, indices_x] = 0`, eval_cvt_diml.py:91-97) zeroes the
+*union* of every batch element's lowest-10% indices in all elements
+(cross-batch advanced indexing).  The correct per-sample behavior is the
+default here; pass ``compat_crossbatch=True`` for bit-faithful emulation.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .pooling import adaptive_avg_pool2d
+
+
+def filter_attention_map(
+    raw_attn: jnp.ndarray,
+    discard_ratio: float = 0.1,
+    head_fusion: str = "min",
+    compat_crossbatch: bool = False,
+) -> jnp.ndarray:
+    """Head-fuse then zero the lowest ``discard_ratio`` of entries per map.
+
+    Args:
+      raw_attn: (B, heads, T, T) attention probabilities.
+    Returns: (B, T, T).
+    """
+    if head_fusion == "mean":
+        fused = jnp.mean(raw_attn, axis=1)
+    elif head_fusion == "max":
+        fused = jnp.max(raw_attn, axis=1)
+    elif head_fusion == "min":
+        fused = jnp.min(raw_attn, axis=1)
+    else:
+        raise ValueError(f"head fusion type not supported: {head_fusion}")
+
+    # maps can be rectangular: q is unpooled, k/v are stride-2 pooled
+    B, Tq, Tk = fused.shape
+    k = int(Tq * Tk * discard_ratio)
+    if k == 0:
+        return fused
+    flat = fused.reshape(B, Tq * Tk)
+    # value of the k-th smallest entry per sample; zero everything <= it
+    kth = -jax.lax.top_k(-flat, k)[0][:, -1]
+    if compat_crossbatch:
+        # reference quirk: every sample is masked with the union of all
+        # samples' discard sets
+        drop = flat <= kth[:, None]  # (B, Tq*Tk) per-sample masks
+        union = jnp.any(drop, axis=0, keepdims=True)
+        flat = jnp.where(union, 0.0, flat)
+    else:
+        flat = jnp.where(flat <= kth[:, None], 0.0, flat)
+    return flat.reshape(B, Tq, Tk)
+
+
+def resize_attn_map(attn: jnp.ndarray, grid: int, has_cls: bool) -> jnp.ndarray:
+    """Pool a (B, T, T) token-token map to (B, grid^2, grid^2).
+
+    Mirrors reference eval_cvt_diml.py:54-70: drop the cls row/col, pool the
+    key axis spatially, transpose, pool the query axis, final transpose.
+    """
+    if has_cls:
+        attn = attn[:, 1:, 1:]
+    B, H, W = attn.shape
+    s = int(round(W**0.5))
+    new_size = grid * grid
+    attn = attn.reshape(B, H, s, s)
+    if s > grid:
+        attn = adaptive_avg_pool2d(attn, grid)
+    attn = attn.reshape(B, H, new_size).transpose(0, 2, 1)
+    sh = int(round(H**0.5))
+    attn = attn.reshape(B, new_size, sh, sh)
+    if sh > grid:
+        attn = adaptive_avg_pool2d(attn, grid)
+    attn = attn.reshape(B, new_size, new_size).transpose(0, 2, 1)
+    return attn
+
+
+def block_rollout_map(
+    probs: jnp.ndarray,
+    grid: int,
+    has_cls: bool,
+    discard_ratio: float = 0.1,
+    head_fusion: str = "min",
+) -> jnp.ndarray:
+    """One block's contribution: filter + pool (called inside the forward)."""
+    return resize_attn_map(
+        filter_attention_map(probs, discard_ratio, head_fusion), grid, has_cls
+    )
+
+
+def attention_rollout(
+    attn_mats: jnp.ndarray, use_res: bool = True, keep_all_layers: bool = False
+) -> jnp.ndarray:
+    """Joint attention via cumulative matmul over layers.
+
+    Args:
+      attn_mats: (L, B, G, G) per-block pooled maps (G = grid^2).
+    Returns (B, G, G) final joint attention (or (L, B, G, G) if
+    ``keep_all_layers``), matching eval_cvt_diml.py:132-140.
+    """
+    if use_res:
+        G = attn_mats.shape[-1]
+        attn_mats = attn_mats + jnp.eye(G, dtype=attn_mats.dtype)
+        attn_mats = attn_mats / jnp.sum(attn_mats, axis=-1, keepdims=True)
+
+    def step(carry, A):
+        joint = jnp.einsum(
+            "bij,bjk->bik", A, carry,
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
+        return joint, joint
+
+    init = attn_mats[0]
+    last, all_joints = jax.lax.scan(step, init, attn_mats[1:])
+    if keep_all_layers:
+        return jnp.concatenate([init[None], all_joints], axis=0)
+    return last
+
+
+def rollout_saliency(attn_mats: jnp.ndarray, use_res: bool = True) -> jnp.ndarray:
+    """Per-image saliency: final joint attention averaged over rows
+    (reference eval_cvt_diml.py:255-256 `rollout[-1].mean(1)`).  (L,B,G,G) -> (B,G)."""
+    return jnp.mean(attention_rollout(attn_mats, use_res=use_res), axis=1)
