@@ -1,0 +1,127 @@
+"""North-star benchmark: query-gallery pairs/sec for the Sinkhorn OT rerank.
+
+Protocol (BASELINE.md): rerank Q queries x K=100 gallery candidates, 7x7=49
+patch tokens, C=128 channels, rollout marginals, full OT (ot_part=1.0),
+100-iteration Sinkhorn — the flagship `--use_rollout` path of
+reference evaluation/eval_cvt_diml.py:316-365.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured against the reference's own implementation
+(utilities/diml.py, imported from /root/reference when present) running its
+per-query loop on this host — torch-CPU, since no CUDA device exists here;
+falls back to a recorded constant when the reference checkout is absent.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+Q, K, C, R = 1024, 100, 128, 49
+REFERENCE = "/root/reference"
+# torch-CPU reference throughput measured on this host (pairs/sec); used when
+# /root/reference is not mounted so the ratio stays comparable across rounds
+FALLBACK_BASELINE_PPS = 20000.0
+
+
+def make_problem(rng):
+    fb = rng.standard_normal((Q, C, R)).astype(np.float32)
+    fb /= np.linalg.norm(fb, axis=1, keepdims=True)
+    centers = fb.mean(-1)
+    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+    rollout = np.abs(rng.standard_normal((Q, R))).astype(np.float32)
+    return fb, centers, rollout
+
+
+def bench_tpu(fb, centers, rollout, top_inds):
+    import jax
+    import jax.numpy as jnp
+    from vit_reranking_tpu.ops.similarity import calc_similarity_rollout
+
+    fb_j = jnp.asarray(fb)
+    c_j = jnp.asarray(centers)
+    r_j = jnp.asarray(rollout)
+    inds = jnp.asarray(top_inds)
+
+    def rerank_one(anchor, center, roll, idx):
+        sim, _ = calc_similarity_rollout(
+            center, anchor, roll, c_j[idx], fb_j[idx], r_j[idx], stage=1
+        )
+        return sim
+
+    fn = jax.jit(jax.vmap(rerank_one))
+    out = fn(fb_j, c_j, r_j, inds)
+    out.block_until_ready()  # compile
+    n_rep = 5
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        out = fn(fb_j, c_j, r_j, inds)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_rep
+    return Q * K / dt
+
+
+def bench_reference_torch(fb, centers, rollout, top_inds, n_queries=32):
+    """Run the reference's own calc_similarity_cvt_rollout per-query loop."""
+    if not os.path.isdir(REFERENCE):
+        return None
+    sys.path.insert(0, REFERENCE)
+    try:
+        import importlib.util as iu
+
+        spec = iu.spec_from_file_location(
+            "ref_diml", os.path.join(REFERENCE, "utilities/diml.py")
+        )
+        ref = iu.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+        import torch
+
+        fb_t = torch.tensor(fb)
+        c_t = torch.tensor(centers)
+        r_t = torch.tensor(rollout)
+        dev = torch.device("cpu")
+
+        def one(i):
+            idx = torch.tensor(top_inds[i])
+            ref.calc_similarity_cvt_rollout(
+                c_t[i], fb_t[i], r_t[i], c_t[idx], fb_t[idx], r_t[idx],
+                stage=1, use_ot=True, ot_part=1.0, device=dev,
+            )
+
+        one(0)  # warm up
+        t0 = time.perf_counter()
+        for i in range(n_queries):
+            one(i)
+        dt = time.perf_counter() - t0
+        return n_queries * K / dt
+    except Exception:
+        return None
+
+
+def main():
+    rng = np.random.default_rng(0)
+    fb, centers, rollout = make_problem(rng)
+    sims = centers @ centers.T
+    np.fill_diagonal(sims, -100.0)
+    top_inds = np.argsort(-sims, axis=1)[:, :K].astype(np.int32)
+
+    pps = bench_tpu(fb, centers, rollout, top_inds)
+    base = bench_reference_torch(fb, centers, rollout, top_inds)
+    if base is None:
+        base = FALLBACK_BASELINE_PPS
+    print(
+        json.dumps(
+            {
+                "metric": "ot_rerank_pairs_per_sec",
+                "value": round(pps, 1),
+                "unit": "query-gallery pairs/sec (K=100, R=49, C=128, full OT, 100 it)",
+                "vs_baseline": round(pps / base, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

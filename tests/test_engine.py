@@ -1,0 +1,135 @@
+"""Engine tests: sharded train step on the virtual 8-device mesh, rerank
+evaluation pipeline end-to-end on synthetic separable data, config parsing."""
+
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import vit_reranking_tpu.losses as losses
+import vit_reranking_tpu.miners as miners
+from vit_reranking_tpu.core.config import Config, from_args
+from vit_reranking_tpu.engine.rerank_eval import rerank_evaluate
+from vit_reranking_tpu.engine.train import (
+    default_label_fn,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+    multistep_schedule,
+)
+from vit_reranking_tpu.parallel.mesh import create_mesh, shard_batch
+
+
+def test_multistep_schedule():
+    s = multistep_schedule(1.0, tau=[2, 4], gamma=0.1, steps_per_epoch=10)
+    assert float(s(0)) == 1.0
+    assert abs(float(s(25)) - 0.1) < 1e-6  # epoch 2
+    assert abs(float(s(45)) - 0.01) < 1e-6  # epoch 4
+
+
+def test_config_roundtrip():
+    cfg = from_args(["--dataset", "cars196", "--bs", "32", "--use_rollout", "--tau", "40", "80"])
+    assert cfg.dataset == "cars196" and cfg.bs == 32
+    assert cfg.use_rollout is True
+    assert cfg.tau == [40, 80]
+    assert cfg.loss_margin_beta == 1.2  # defaults preserved
+
+
+def test_sharded_train_step_decreases_loss():
+    """Full train step over the 8-device mesh with a tiny MLP-ish model."""
+    import flax.linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            # flatten image, project to an embedding; mimic the model contract
+            B = x.shape[0]
+            h = x.reshape(B, -1)
+            h = nn.Dense(32)(h)
+            h = nn.BatchNorm(use_running_average=not train)(h)
+            e = nn.Dense(16)(h)
+            e = e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
+            return e, (e, None), {}
+
+    opt = types.SimpleNamespace(
+        n_classes=4, embed_dim=16, lr=1e-2, loss="margin",
+        loss_margin_margin=0.2, loss_margin_nu=0.0,
+        loss_margin_beta_constant=False, loss_margin_beta=1.2,
+        loss_margin_beta_lr=5e-4,
+        miner_distance_lower_cutoff=0.5, miner_distance_upper_cutoff=1.4,
+    )
+    miner = miners.select("distance", opt)
+    criterion, _ = losses.select("margin", opt, miner)
+    model = Tiny()
+    tx = make_optimizer(
+        "adam", 1e-2, 4e-4, tau=[1000], gamma=0.3, steps_per_epoch=10,
+        group_lrs={"model": 1e-2, "criterion": 5e-4}, label_fn=default_label_fn,
+    )
+    mesh = create_mesh(jax.devices()[:8])
+
+    rng = np.random.default_rng(0)
+    B = 32
+    protos = rng.standard_normal((4, 8 * 8 * 3)).astype(np.float32)
+    labels_np = (np.arange(B) % 4).astype(np.int32)
+    images_np = (protos[labels_np] + 3.0 * rng.standard_normal((B, 192))).astype(
+        np.float32
+    ).reshape(B, 8, 8, 3)
+
+    state = init_train_state(model, criterion, tx, jax.random.PRNGKey(0), jnp.zeros((B, 8, 8, 3)))
+    step = make_train_step(model.apply, criterion, tx, mesh=mesh, donate=False)
+
+    with mesh:
+        images, labels = shard_batch(mesh, (images_np, labels_np))
+        state_r = jax.device_put(
+            state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        )
+        lo = []
+        for i in range(25):
+            key = jax.device_put(
+                jax.random.PRNGKey(i),
+                jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+            )
+            state_r, m = step(state_r, images, labels, key)
+            lo.append(float(m["loss"]))
+    assert np.isfinite(lo).all()
+    assert np.mean(lo[-5:]) < np.mean(lo[:5]), lo
+    assert float(m["grad_l2"]) >= 0
+
+
+def _separable_bank(rng, N=400, C=32, R=9, ncls=20, noise=0.6):
+    protos = rng.standard_normal((ncls, C)).astype(np.float32)
+    labels = np.repeat(np.arange(ncls), N // ncls)
+    fb = protos[labels][:, :, None] + noise * rng.standard_normal((N, C, R)).astype(np.float32)
+    fb /= np.linalg.norm(fb, axis=1, keepdims=True)
+    centers = fb.mean(-1)
+    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+    return jnp.asarray(fb), jnp.asarray(centers), jnp.asarray(labels)
+
+
+def test_rerank_evaluate_end_to_end():
+    rng = np.random.default_rng(0)
+    fb, centers, labels = _separable_bank(rng)
+    res = rerank_evaluate(
+        fb, centers, labels, trunc_nums=(0, 10),
+        method="featvit", flags=dict(use_uniform=True), query_block=128,
+    )
+    assert set(res) == {"r1", "rp", "mapr"}
+    for m in res.values():
+        assert set(m) == {0, 10}
+        for v in m.values():
+            assert 0.0 <= v <= 100.0
+    # on separable data, uniform-OT rerank should not collapse R@1
+    assert res["r1"][10] >= res["r1"][0] - 5.0
+
+
+def test_rerank_evaluate_rollout_method():
+    rng = np.random.default_rng(1)
+    fb, centers, labels = _separable_bank(rng, N=200, ncls=10)
+    roll = jnp.asarray(np.abs(rng.standard_normal((200, 9))).astype(np.float32))
+    res = rerank_evaluate(
+        fb, centers, labels, rollout=roll, trunc_nums=(0, 10),
+        method="rollout", flags=dict(use_ot=True, ot_part=1.0), query_block=64,
+    )
+    assert np.isfinite(res["r1"][10])

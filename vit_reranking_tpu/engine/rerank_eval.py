@@ -1,0 +1,139 @@
+"""The rerank evaluation engine — stage-0 retrieval + OT rerank + metrics,
+fully on device.
+
+TPU-native re-design of reference evaluation/eval_cvt_diml.py:196-416 (and the
+eval_diml / eval_swin_diml / eval_attn_diml siblings): the reference loops
+queries one at a time in Python with a 100-iteration Sinkhorn per query; here
+queries are processed in vmapped tiles inside one compiled program, the
+gallery never materializes an N x N matrix (blocked top-k), and metrics reduce
+once at the end.
+
+Memory note (SOP scale, SURVEY.md section 5): metrics only inspect the first
+``num_pos <= Kmax`` ranked entries, so the full ranking is never needed — we
+keep a top-``Kmax`` head per query where ``Kmax >= max(trunc_nums, max class
+size)``, splice the reranked top-``trunc`` into it, and compute R@1 / RP /
+MAP@R from the head alone.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.similarity import calc_similarity, calc_similarity_rollout
+from ..ops.topk import pairwise_topk
+from .metrics import metrics_from_ranks
+
+
+def _rerank_tile(
+    anchor, anchor_center, anchor_rollout, fb, fb_center, fb_rollout, method, flags
+):
+    """OT-rerank one query against its top-K candidates. vmapped over queries."""
+    if method == "rollout":
+        sim, _ = calc_similarity_rollout(
+            anchor_center, anchor, anchor_rollout, fb_center, fb, fb_rollout,
+            stage=1,
+            use_uniform=flags.get("use_uniform", False),
+            use_ot=flags.get("use_ot", True),
+            ot_part=flags.get("ot_part", 1.0),
+        )
+    else:  # 'featvit' — the calc_similarity cross-attention path
+        sim, _ = calc_similarity(
+            anchor, anchor_center, fb, fb_center, stage=1,
+            use_uniform=flags.get("use_uniform", False),
+            use_inverse=flags.get("use_inverse", False),
+            temperature=flags.get("temperature", 1.0),
+            use_cls_token=flags.get("use_cls_token", False),
+            ot_temp=flags.get("ot_temp", 0.05),
+            use_minus=flags.get("use_minus", False),
+            ot_part=flags.get("ot_part", 1.0),
+        )
+    return sim
+
+
+def rerank_evaluate(
+    feature_bank: jnp.ndarray,
+    feature_bank_center: jnp.ndarray,
+    labels: jnp.ndarray,
+    rollout: Optional[jnp.ndarray] = None,
+    trunc_nums: Sequence[int] = (0, 100),
+    method: str = "featvit",
+    flags: Optional[dict] = None,
+    query_block: int = 128,
+    head_k: Optional[int] = None,
+) -> Dict[str, Dict[int, float]]:
+    """Full evaluation: returns {'r1'|'rp'|'mapr': {trunc: percent}}.
+
+    Args:
+      feature_bank: (N, C, R) patch features, already normalized over C
+        (reference eval_cvt_diml.py:304).
+      feature_bank_center: (N, C) global embeddings, normalized.
+      labels: (N,) int labels; queries == gallery with self-masking.
+      rollout: (N, R) rollout saliency when method == 'rollout'.
+      trunc_nums: 0 = global-only; k = OT-rerank top-k then splice
+        (reference eval_cvt_diml.py:359-365).
+    """
+    flags = dict(flags or {})
+    N = feature_bank.shape[0]
+    labels = jnp.asarray(labels)
+
+    # head must cover the largest class (metrics look at first num_pos) and
+    # the largest requested truncation
+    _, counts = np.unique(np.asarray(labels), return_counts=True)
+    max_pos = int(counts.max())
+    K = int(max(trunc_nums))
+    Kmax = head_k or min(N, max(max_pos, K, 1) + 1)
+    Kmax = max(Kmax, K)
+
+    vals, approx_tops = pairwise_topk(
+        feature_bank_center, feature_bank_center, k=Kmax, mask_self=True
+    )
+
+    results = {m: {} for m in ("r1", "rp", "mapr")}
+
+    if K > 0:
+        top_inds = approx_tops[:, :K]
+        top_vals = vals[:, :K]
+
+        rerank_one = functools.partial(_rerank_tile, method=method, flags=flags)
+        dummy_roll = rollout if rollout is not None else jnp.zeros((N, 1))
+
+        @jax.jit
+        def tile_fn(anchor, anchor_center, anchor_roll, inds):
+            return jax.vmap(rerank_one)(
+                anchor, anchor_center, anchor_roll,
+                feature_bank[inds], feature_bank_center[inds], dummy_roll[inds],
+            )
+
+        sims = []
+        for s in range(0, N, query_block):
+            e = min(s + query_block, N)
+            # pad the last tile to the block size to avoid a recompile
+            idx = jnp.arange(s, s + query_block) % N
+            tile = tile_fn(
+                feature_bank[idx], feature_bank_center[idx], dummy_roll[idx],
+                top_inds[idx],
+            )
+            sims.append(tile[: e - s])
+        ot_sims = jnp.concatenate(sims, axis=0)  # (N, K)
+
+        # rerank within the head by ot_sim + global sim (eval_cvt_diml.py:357)
+        order = jnp.argsort(-(ot_sims + top_vals), axis=1)
+        reranked = jnp.take_along_axis(top_inds, order, axis=1)
+
+    for trunc in trunc_nums:
+        if trunc == 0:
+            final = approx_tops
+        else:
+            final = jnp.concatenate(
+                [reranked[:, :trunc], approx_tops[:, trunc:]], axis=1
+            )
+        per_q = metrics_from_ranks(final, labels, labels)
+        for m in results:
+            results[m][trunc] = float(jnp.mean(per_q[m])) * 100.0
+
+    return results
