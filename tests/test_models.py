@@ -1,0 +1,148 @@
+"""Model-family tests: forward contracts, shapes, registry dispatch."""
+
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import vit_reranking_tpu.models as archs
+
+
+def opt(**kw):
+    base = dict(
+        embed_dim=32, grid_size=7, blk_ind=0, pooling="patchnetvlad",
+        num_clusters=8, num_pcs=64, append_pca_layer=True, patch_sizes="2",
+        strides="1", vladv2=False,
+    )
+    base.update(kw)
+    return types.SimpleNamespace(**base)
+
+
+def run(model, x, **kw):
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False, **kw)
+    out = model.apply(v, x, train=False, **kw)
+    return v, out
+
+
+def test_resnet50_contract():
+    m = archs.select("resnet50_frozen_normalize", opt())
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 64, 64, 3)), jnp.float32)
+    _, (e, (enc, tok), aux) = run(m, x)
+    assert e.shape == (2, 32)
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(e, axis=-1)), 1.0, rtol=1e-5)
+    assert enc.shape == (2, 2048)
+    assert tok.shape == (2, 4, 2048)  # 64/32 = 2x2 map
+
+
+def test_resnet50_diml_contract():
+    m = archs.select("resnet50_diml_frozen", opt())
+    x = jnp.zeros((2, 64, 64, 3))
+    _, (pf, (enc, tok), aux) = run(m, x)
+    assert pf.shape == (2, 2, 2, 32)
+    assert enc.shape == (2, 2048)
+
+
+def test_irresnet_gem():
+    m = archs.select("irresnet50", opt())
+    x = jnp.ones((1, 64, 64, 3)) * 0.3
+    _, (e, (pooled, tok), _) = run(m, x)
+    assert e.shape == (1, 32)
+    np.testing.assert_allclose(float(jnp.linalg.norm(e)), 1.0, rtol=1e-4)
+
+
+def test_vit_contract_and_qk():
+    m = archs.select("vit_normalize", opt())
+    x = jnp.zeros((2, 64, 64, 3))  # 4x4 = 16 patches
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False, ret_attn=True)
+    e, (enc, tok), aux = m.apply(v, x, train=False, ret_attn=True)
+    assert e.shape == (2, 32)
+    assert enc.shape == (2, 384)
+    assert tok.shape == (2, 16, 384)
+    assert aux["q"].shape == (2, 6, 17, 64)  # heads, T+1, head_dim
+
+
+def test_swin_contract():
+    m = archs.select("swin_normalize", opt())
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, 224, 224, 3)), jnp.float32
+    )  # 56 -> 28 -> 14 -> 7 token grids
+    _, (e, (enc, tok), _) = run(m, x)
+    assert e.shape == (1, 32)
+    assert enc.shape == (1, 768)
+    assert tok.shape == (1, 49, 768)
+    np.testing.assert_allclose(float(jnp.linalg.norm(e)), 1.0, rtol=1e-5)
+
+
+def test_cvt_registry_variants():
+    m = archs.select("cvt_13_normalize_frozen", opt())
+    assert isinstance(m, archs.CvTNetwork)
+    m2 = archs.select("cvt_diml_normalize_frozen", opt())
+    assert isinstance(m2, archs.CvTDIML)
+
+
+def test_netvlad_network():
+    m = archs.select("patchnetvlad", opt())
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 64, 64, 3)), jnp.float32)
+    _, (e, (vg, vl), _) = run(m, x)
+    assert e.shape == (1, 64)  # num_pcs
+    assert vg.shape == (1, 8 * 512)
+    assert isinstance(vl, list) and vl[0].shape[1] == 8 * 512
+    np.testing.assert_allclose(float(jnp.linalg.norm(e)), 1.0, rtol=1e-4)
+
+
+def test_integral_patch_pooling_matches_direct():
+    """Box-sum via integral image == direct window mean."""
+    from vit_reranking_tpu.models.netvlad import (
+        integral_feature,
+        square_regions_from_integral,
+    )
+
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(rng.standard_normal((1, 3, 8, 8)).astype(np.float32))
+    out = square_regions_from_integral(integral_feature(f), patch_size=3, stride=2)
+    fn = np.asarray(f)
+    expect_h = (8 - 3) // 2 + 1
+    assert out.shape == (1, 3, expect_h, expect_h)
+    for i in range(expect_h):
+        for j in range(expect_h):
+            ref = fn[:, :, 2 * i : 2 * i + 3, 2 * j : 2 * j + 3].mean((-1, -2))
+            np.testing.assert_allclose(np.asarray(out[:, :, i, j]), ref, rtol=1e-4)
+
+
+def test_netvlad_layer_properties():
+    from vit_reranking_tpu.models.netvlad import NetVLAD
+
+    m = NetVLAD(num_clusters=4, dim=16)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 3, 3, 16)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    vlad, _ = m.apply(v, x)
+    assert vlad.shape == (2, 64)
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(vlad, axis=1)), 1.0, rtol=1e-5)
+    # local_global consistency: summing local over space == global before norms
+    vl, vg = m.apply(v, x, method="local_global")
+    assert vl.shape == (2, 64, 3, 3)
+    assert vg.shape == (2, 64)
+
+
+def test_cross_net():
+    m = archs.CrossNet(embed_dim=16, dim=32, depth=1)
+    rng = np.random.default_rng(2)
+    xs = jnp.asarray(rng.standard_normal((2, 10, 32)), jnp.float32)
+    ys = jnp.asarray(rng.standard_normal((2, 10, 32)), jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0)}, xs, ys)
+    xo, yo = m.apply(v, xs, ys)
+    assert xo.shape == (2, 16) and yo.shape == (2, 16)
+
+
+def test_frozen_param_mask():
+    m = archs.select("cvt_13_normalize_frozen", opt())
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    mask = archs.frozen_param_mask("cvt_13_normalize_frozen", v["params"])
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    froze = [p for p, val in flat if not val]
+    train = [p for p, val in flat if val]
+    assert froze and train
+    assert all("stage0" in str(p) or "stage1" in str(p) for p in froze)

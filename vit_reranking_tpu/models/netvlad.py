@@ -1,0 +1,235 @@
+"""NetVLAD / Patch-NetVLAD (Flax) for place recognition.
+
+From-scratch TPU-native implementation of the reference's Patch-NetVLAD stack
+(architectures/netvlad.py:37-186, patchnetvlad.py:66-135,222-404, MIT-licensed
+upstream design): soft-assignment conv + per-cluster residual aggregation with
+intra- and global L2 normalization, the integral-feature trick for patch-level
+VLAD, a VGG-16 (conv-only) encoder, and the WPCA whitening conv.
+
+The reference loops clusters one at a time "for lower memory"; on TPU the full
+(N, K, D, H, W) residual tensor is a single broadcast multiply — XLA fuses the
+softmax weighting and the sum, so the loop is pure overhead here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .common import l2norm
+
+
+def _norm_ch(x, axis):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), 1e-12)
+
+
+class NetVLAD(nn.Module):
+    """VLAD aggregation layer. Input (B, H, W, D) -> (B, K*D) descriptor."""
+
+    num_clusters: int = 64
+    dim: int = 512
+    normalize_input: bool = True
+    vladv2: bool = False
+
+    def setup(self):
+        self.assign = nn.Dense(self.num_clusters, use_bias=self.vladv2, name="conv")
+        self.centroids = self.param(
+            "centroids",
+            lambda rng: jax.random.uniform(rng, (self.num_clusters, self.dim)),
+        )
+
+    def residuals(self, x):
+        """(B, H, W, D) -> soft-assigned residuals (B, K, D, H*W)."""
+        B, H, W, D = x.shape
+        if self.normalize_input:
+            x = _norm_ch(x, axis=-1)
+        soft = jax.nn.softmax(self.assign(x), axis=-1)  # (B, H, W, K)
+        xf = x.reshape(B, H * W, D)
+        sf = soft.reshape(B, H * W, self.num_clusters)
+        # residual[b,k,d,l] = (x[b,l,d] - c[k,d]) * s[b,l,k]
+        res = xf[:, None, :, :] - self.centroids[None, :, None, :]  # (B,K,L,D)
+        res = res * sf.transpose(0, 2, 1)[:, :, :, None]
+        return res.transpose(0, 1, 3, 2)  # (B, K, D, L)
+
+    def __call__(self, x):
+        res = self.residuals(x)
+        vlad = jnp.sum(res, axis=-1)  # (B, K, D)
+        vlad = _norm_ch(vlad, axis=2)  # intra-normalization
+        vlad = vlad.reshape(vlad.shape[0], -1)
+        return l2norm(vlad), None
+
+    def local_global(self, x):
+        """(vlad_local (B, K*D, H, W), vlad_global (B, K*D)) — reference
+        netvlad.get_local_global (netvlad.py:148-177)."""
+        B, H, W, D = x.shape
+        res = self.residuals(x)  # (B, K, D, L)
+        vg = jnp.sum(res, axis=-1)
+        vg = _norm_ch(vg, axis=2).reshape(B, -1)
+        vg = l2norm(vg)
+        vl = _norm_ch(res, axis=2).reshape(B, self.num_clusters * D, H, W)
+        vl = _norm_ch(vl, axis=1)
+        return vl, vg
+
+
+def integral_feature(feat: jnp.ndarray) -> jnp.ndarray:
+    """2D prefix sums with a zero pad row/col (reference
+    patchnetvlad.get_integral_feature:66-74).  feat (B, D, H, W)."""
+    out = jnp.cumsum(jnp.cumsum(feat, axis=-1), axis=-2)
+    return jnp.pad(out, ((0, 0), (0, 0), (1, 0), (1, 0)))
+
+
+def square_regions_from_integral(
+    ifeat: jnp.ndarray, patch_size: int, stride: int
+) -> jnp.ndarray:
+    """Box sums via 4-corner differencing of the integral image (reference
+    patchnetvlad.get_square_regions_from_integral:77-91).  Returns
+    (B, D, nH, nW) mean-pooled patch features."""
+    B, D, H, W = ifeat.shape
+    p = patch_size
+    tl = ifeat[:, :, : H - p : stride, : W - p : stride]
+    tr = ifeat[:, :, : H - p : stride, p::stride]
+    bl = ifeat[:, :, p::stride, : W - p : stride]
+    br = ifeat[:, :, p::stride, p::stride]
+    h = min(tl.shape[2], tr.shape[2], bl.shape[2], br.shape[2])
+    w = min(tl.shape[3], tr.shape[3], bl.shape[3], br.shape[3])
+    out = (
+        br[:, :, :h, :w] - bl[:, :, :h, :w] - tr[:, :, :h, :w] + tl[:, :, :h, :w]
+    )
+    return out / (p * p)
+
+
+class PatchNetVLAD(nn.Module):
+    """Patch-level VLAD via the integral-feature trick
+    (reference patchnetvlad.py:222-357)."""
+
+    num_clusters: int = 64
+    dim: int = 512
+    normalize_input: bool = True
+    vladv2: bool = False
+    patch_sizes: Sequence[int] = (5,)
+    strides: Sequence[int] = (1,)
+
+    def setup(self):
+        self.vlad = NetVLAD(
+            self.num_clusters, self.dim, self.normalize_input, self.vladv2, name="core"
+        )
+
+    def __call__(self, x):
+        B, H, W, D = x.shape
+        res = self.vlad.residuals(x)  # (B, K, D, L)
+        vlad_global = jnp.sum(res, axis=-1)
+        store = res.reshape(B, self.num_clusters * D, H, W)
+
+        vlad_local: Optional[List[jnp.ndarray]] = []
+        if 0 not in self.strides:
+            ivlad = integral_feature(store)
+            for p, s in zip(self.patch_sizes, self.strides):
+                tv = square_regions_from_integral(ivlad, int(p), int(s))
+                nB, _, nH, nW = tv.shape
+                tv = tv.reshape(B, self.num_clusters, D, nH * nW)
+                tv = _norm_ch(tv, axis=2)
+                tv = tv.reshape(B, self.num_clusters * D, nH * nW)
+                tv = _norm_ch(tv, axis=1)
+                vlad_local.append(tv)
+        else:
+            vlad_local = None
+
+        vlad_global = _norm_ch(vlad_global, axis=2).reshape(B, -1)
+        vlad_global = l2norm(vlad_global)
+        return vlad_local, vlad_global
+
+
+# VGG-16 conv stack (torchvision features[:-2]: through conv5_3 + relu, no
+# final maxpool), reference patchnetvlad.get_vgg16:94-103
+_VGG16_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M", 512, 512, 512]
+
+
+class VGG16Encoder(nn.Module):
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ci = 0
+        for v in _VGG16_CFG:
+            if v == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            else:
+                x = nn.Conv(v, (3, 3), padding=[(1, 1), (1, 1)], name=f"conv{ci}")(x)
+                x = nn.relu(x)
+                ci += 1
+        return x  # (B, H/16, W/16, 512)
+
+
+class PatchNetVLADNetwork(nn.Module):
+    """Full place-recognition wrapper (reference patchnetvlad.Network:361-404):
+    VGG16 -> (Patch)NetVLAD -> optional WPCA whitening.
+
+    Returns (pca(vlad_global), (vlad_global, vlad_local_or_None), {}).
+    """
+
+    pooling: str = "patchnetvlad"
+    num_clusters: int = 64
+    num_pcs: int = 4096
+    append_pca_layer: bool = True
+    normalize: bool = False
+    patch_sizes: Sequence[int] = (5,)
+    strides: Sequence[int] = (1,)
+    vladv2: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, ret_attn: bool = False):
+        enc = VGG16Encoder(name="encoder")(x, train)
+        pooling = self.pooling.lower()
+        vlad_local = None
+        if pooling == "netvlad":
+            vlad_global, _ = NetVLAD(self.num_clusters, 512, vladv2=self.vladv2, name="pool")(enc)
+        elif pooling == "patchnetvlad":
+            vlad_local, vlad_global = PatchNetVLAD(
+                self.num_clusters, 512, vladv2=self.vladv2,
+                patch_sizes=self.patch_sizes, strides=self.strides, name="pool",
+            )(enc)
+        elif pooling == "max":
+            vlad_global = l2norm(jnp.max(enc, axis=(1, 2)))
+        elif pooling == "avg":
+            vlad_global = l2norm(jnp.mean(enc, axis=(1, 2)))
+        else:
+            raise ValueError("Unknown pooling type: " + self.pooling)
+
+        out = vlad_global
+        if self.append_pca_layer:
+            out = nn.Dense(self.num_pcs, name="WPCA")(vlad_global)
+            out = l2norm(out)
+        if self.normalize:
+            out = l2norm(out)
+        return out, (vlad_global, vlad_local), {}
+
+
+def netvlad_init_from_clusters(
+    clusters: np.ndarray, train_descs: np.ndarray, vladv2: bool = False
+) -> Dict[str, np.ndarray]:
+    """Compute the alpha-scaled soft-assignment init (reference
+    netvlad.init_params:66-107).  Returns {'centroids', 'conv_kernel',
+    'conv_bias'(v2 only)} to merge into the params tree.  Cluster search uses
+    the on-device ops (ops/kmeans.py + ops/topk.py) instead of faiss."""
+    if not vladv2:
+        assign = clusters / np.linalg.norm(clusters, axis=1, keepdims=True)
+        dots = np.sort(assign @ train_descs.T, axis=0)[::-1]
+        alpha = float(-np.log(0.01) / np.mean(dots[0] - dots[1]))
+        return {
+            "centroids": clusters.astype(np.float32),
+            "conv_kernel": (alpha * assign).T.astype(np.float32),  # Dense (D, K)
+        }
+    d2 = (
+        np.sum(clusters**2, 1, keepdims=True)
+        + np.sum(train_descs**2, 1)[None]
+        - 2 * clusters @ train_descs.T
+    )
+    ds_sq = np.sort(d2, axis=1)[:, :2]
+    alpha = float(-np.log(0.01) / np.mean(ds_sq[:, 1] - ds_sq[:, 0]))
+    return {
+        "centroids": clusters.astype(np.float32),
+        "conv_kernel": (2.0 * alpha * clusters).T.astype(np.float32),
+        "conv_bias": (-alpha * np.linalg.norm(clusters, axis=1)).astype(np.float32),
+    }

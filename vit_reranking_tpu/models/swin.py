@@ -1,0 +1,198 @@
+"""Swin-T backbone (Flax): windowed attention with relative position bias,
+shifted windows, patch merging.
+
+From-scratch implementation of the `swin_tiny_patch4_window7_224` topology
+consumed by the reference (architectures/swin.py:13-61): patch 4, dims
+96/192/384/768, depths 2/2/6/2, heads 3/6/12/24, window 7.  The wrapper
+exposes the final 7x7x768 token map after the trunk LayerNorm — the Swin
+rerank path pools it to the DIML grid (reference eval_swin_diml.py:183-195).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .common import DropPath, Mlp, l2norm, trunc_normal_init
+
+
+@functools.lru_cache(maxsize=8)
+def _relative_position_index(window: int) -> np.ndarray:
+    """(W^2, W^2) indices into the (2W-1)^2 bias table (standard Swin)."""
+    coords = np.stack(np.meshgrid(np.arange(window), np.arange(window), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # (2, W^2, W^2)
+    rel = rel.transpose(1, 2, 0) + (window - 1)
+    return (rel[:, :, 0] * (2 * window - 1) + rel[:, :, 1]).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=32)
+def _shift_attn_mask(H: int, W: int, window: int, shift: int) -> np.ndarray:
+    """(nW, W^2, W^2) additive mask for shifted windows (0 or -100)."""
+    img = np.zeros((H, W), np.int32)
+    cnt = 0
+    slices = (slice(0, -window), slice(-window, -shift), slice(-shift, None))
+    for hs in slices:
+        for ws in slices:
+            img[hs, ws] = cnt
+            cnt += 1
+    img = img.reshape(H // window, window, W // window, window)
+    wins = img.transpose(0, 2, 1, 3).reshape(-1, window * window)
+    diff = wins[:, None, :] != wins[:, :, None]
+    return np.where(diff, -100.0, 0.0).astype(np.float32)
+
+
+def window_partition(x, window):
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // window, window, W // window, window, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window * window, C)
+
+
+def window_reverse(wins, window, H, W):
+    B = wins.shape[0] // ((H // window) * (W // window))
+    x = wins.reshape(B, H // window, W // window, window, window, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, -1)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window: int = 7
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        Bw, T, C = x.shape
+        hd = self.dim // self.num_heads
+        qkv = nn.Dense(self.dim * 3, use_bias=True, name="qkv")(x)
+        qkv = qkv.reshape(Bw, T, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        attn = (
+            jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
+            * hd**-0.5
+        )
+        table = self.param(
+            "relative_position_bias_table",
+            trunc_normal_init(),
+            ((2 * self.window - 1) ** 2, self.num_heads),
+        )
+        idx = jnp.asarray(_relative_position_index(self.window))
+        bias = table[idx.reshape(-1)].reshape(T, T, self.num_heads)
+        attn = attn + bias.transpose(2, 0, 1)[None]
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(Bw // nW, nW, self.num_heads, T, T)
+            attn = attn + mask[None, :, None, :, :]
+            attn = attn.reshape(Bw, self.num_heads, T, T)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhts,bhsd->bhtd", attn.astype(v.dtype), v)
+        out = out.transpose(0, 2, 1, 3).reshape(Bw, T, self.dim)
+        return nn.Dense(self.dim, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window: int = 7
+    shift: int = 0
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, H: int, W: int, train: bool = False):
+        B, L, C = x.shape
+        # official Swin rule: when the resolution does not exceed the window,
+        # attention is global — clamp the window and disable the shift
+        window = min(self.window, H, W)
+        shift = 0 if min(H, W) <= self.window else self.shift
+        res = x
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x).reshape(B, H, W, C)
+        if shift > 0:
+            y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(_shift_attn_mask(H, W, window, shift))
+        else:
+            mask = None
+        wins = window_partition(y, window)
+        wins = WindowAttention(self.dim, self.num_heads, window, name="attn")(
+            wins, mask, train
+        )
+        y = window_reverse(wins, window, H, W)
+        if shift > 0:
+            y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))
+        x = res + DropPath(self.drop_path, name="dp1")(y.reshape(B, L, C), train)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, act=nn.gelu, name="mlp")(
+            y, train
+        )
+        return x + DropPath(self.drop_path, name="dp2")(y, train)
+
+
+class PatchMerging(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, H: int, W: int):
+        B, L, C = x.shape
+        x = x.reshape(B, H, W, C)
+        x = jnp.concatenate(
+            [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
+            axis=-1,
+        ).reshape(B, (H // 2) * (W // 2), 4 * C)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
+
+
+class SwinNetwork(nn.Module):
+    """Swin-T retrieval wrapper (reference architectures/swin.py:13-61)."""
+
+    embed_dim: int = 128
+    normalize: bool = True
+    dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window: int = 7
+    patch: int = 4
+    drop_path_rate: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, ret_attn: bool = False):
+        B = x.shape[0]
+        x = nn.Conv(
+            self.dim, (self.patch, self.patch), strides=(self.patch, self.patch),
+            name="patch_embed_proj",
+        )(x)
+        _, H, W, _ = x.shape
+        x = x.reshape(B, H * W, self.dim)
+        x = nn.LayerNorm(epsilon=1e-5, name="patch_embed_norm")(x)
+
+        total = sum(self.depths)
+        dpr = np.linspace(0, self.drop_path_rate, total)
+        b = 0
+        dim = self.dim
+        for li, depth in enumerate(self.depths):
+            for bi in range(depth):
+                x = SwinBlock(
+                    dim,
+                    self.num_heads[li],
+                    window=self.window,
+                    shift=0 if bi % 2 == 0 else self.window // 2,
+                    drop_path=float(dpr[b]),
+                    name=f"layer{li}_block{bi}",
+                )(x, H, W, train)
+                b += 1
+            if li < len(self.depths) - 1:
+                x = PatchMerging(dim, name=f"layer{li}_downsample")(x, H, W)
+                H, W, dim = H // 2, W // 2, dim * 2
+
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)  # (B, 49, 768)
+        no_avg_feat = x
+        enc_out = jnp.mean(x, axis=1)
+        out = nn.Dense(self.embed_dim, name="head")(enc_out)
+        if self.normalize:
+            out = l2norm(out)
+        return out, (enc_out, no_avg_feat), {}

@@ -1,0 +1,179 @@
+"""DeiT/ViT-small backbone (Flax) + pairwise cross-attention rescorer.
+
+Standard ViT (timm `deit_small_patch16_224` topology: patch16, dim 384,
+6 heads, 12 blocks) with the reference's manual forward that exposes the cls
+token and the 196 patch tokens after the final LayerNorm (reference
+architectures/vit.py:45-60).  ``ret_qk`` additionally returns the q/k
+projections of a chosen block for the attention-marginal rerank variants
+(reference evaluation/eval_attn_diml.py:18-38).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .common import DropPath, Mlp, l2norm, trunc_normal_init
+
+
+class ViTAttention(nn.Module):
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, ret_qk: bool = False):
+        B, T, C = x.shape
+        hd = self.dim // self.num_heads
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(B, T, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (B, h, T, hd)
+        attn = jax.nn.softmax(
+            jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
+            * (hd**-0.5),
+            axis=-1,
+        )
+        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+        out = jnp.einsum("bhts,bhsd->bhtd", attn.astype(v.dtype), v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, self.dim)
+        out = nn.Dense(self.dim, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
+        qk = (q, k) if ret_qk else None
+        return out, qk
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, ret_qk: bool = False):
+        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        attn_out, qk = ViTAttention(self.dim, self.num_heads, name="attn")(
+            y, train, ret_qk
+        )
+        x = x + DropPath(self.drop_path, name="dp1")(attn_out, train)
+        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        y = Mlp(
+            int(self.dim * self.mlp_ratio), self.dim, act=nn.gelu, name="mlp"
+        )(y, train)
+        x = x + DropPath(self.drop_path, name="dp2")(y, train)
+        return x, qk
+
+
+class ViTNetwork(nn.Module):
+    """DeiT-small retrieval wrapper (reference architectures/vit.py:13-60)."""
+
+    embed_dim: int = 128
+    normalize: bool = True
+    dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    patch: int = 16
+    qk_block: int = 0  # block whose q/k are captured when ret_attn
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, ret_attn: bool = False):
+        B = x.shape[0]
+        x = nn.Conv(
+            self.dim, (self.patch, self.patch),
+            strides=(self.patch, self.patch), name="patch_embed_proj",
+        )(x)
+        _, H, W, _ = x.shape
+        tokens = x.reshape(B, H * W, self.dim)
+        cls = self.param("cls_token", trunc_normal_init(), (1, 1, self.dim))
+        tokens = jnp.concatenate([jnp.tile(cls, (B, 1, 1)), tokens], axis=1)
+        pos = self.param(
+            "pos_embed", trunc_normal_init(), (1, H * W + 1, self.dim)
+        )
+        tokens = tokens + pos
+
+        qk_out = None
+        for i in range(self.depth):
+            tokens, qk = ViTBlock(self.dim, self.num_heads, name=f"block{i}")(
+                tokens, train, ret_qk=(ret_attn and i == self.qk_block)
+            )
+            if qk is not None:
+                qk_out = qk
+
+        tokens = nn.LayerNorm(epsilon=1e-6, name="norm")(tokens)
+        enc_out = tokens[:, 0]
+        no_avg_feat = tokens[:, 1:]  # (B, 196, 384)
+        out = nn.Dense(self.embed_dim, name="head")(enc_out)
+        if self.normalize:
+            out = l2norm(out)
+        aux: Dict[str, Any] = {}
+        if ret_attn and qk_out is not None:
+            aux["q"], aux["k"] = qk_out
+        return out, (enc_out, no_avg_feat), aux
+
+
+class CrossAttentionBlock(nn.Module):
+    """Single-query cross attention (reference vit.py:65-103): the cls token
+    attends over the other image's patch tokens."""
+
+    dim: int
+    heads: int = 12
+    dim_head: int = 64
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x_qkv, train: bool = False):
+        inner = self.heads * self.dim_head
+        k = nn.Dense(inner, name="to_k")(x_qkv)
+        v = nn.Dense(inner, name="to_v")(x_qkv)
+        q = nn.Dense(inner, name="to_q")(x_qkv[:, :1])
+        B, T, _ = x_qkv.shape
+        rs = lambda t: t.reshape(B, -1, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        q, k, v = rs(q), rs(k), rs(v)
+        attn = jax.nn.softmax(
+            jnp.einsum("bhid,bhjd->bhij", q, k) * (self.dim_head**-0.5), axis=-1
+        )
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, 1, inner)
+        out = nn.Dense(self.dim, name="to_out")(out)
+        out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        return out
+
+
+class CrossNet(nn.Module):
+    """Pairwise cross-attention rescorer (reference vit.py:105-148 /
+    swin.py:63-147): exchanges cls<->patch attention between two images'
+    tokens, then projects both cls tokens to embeddings."""
+
+    embed_dim: int = 128
+    dim: int = 384
+    depth: int = 1
+    normalize: bool = True
+
+    @nn.compact
+    def __call__(self, xs, ys, train: bool = False):
+        for d in range(self.depth):
+            ln_s = nn.LayerNorm(name=f"ln_src{d}")
+            ln_t = nn.LayerNorm(name=f"ln_tgt{d}")
+            ca_s = CrossAttentionBlock(self.dim, dropout=0.2, name=f"cross_src{d}")
+            ca_t = CrossAttentionBlock(self.dim, dropout=0.2, name=f"cross_tgt{d}")
+
+            x_cls, x_patch = xs[:, :1], xs[:, 1:]
+            y_cls, y_patch = ys[:, :1], ys[:, 1:]
+
+            qkv = jnp.concatenate([x_cls, y_patch], axis=1)
+            x_cls = x_cls + ca_s(ln_s(qkv), train)
+            xs = jnp.concatenate([x_cls, x_patch], axis=1)
+
+            qkv = jnp.concatenate([y_cls, x_patch], axis=1)
+            y_cls = y_cls + ca_t(ln_t(qkv), train)
+            ys = jnp.concatenate([y_cls, y_patch], axis=1)
+
+        head = nn.Dense(self.embed_dim, name="head")
+        x_out, y_out = head(xs[:, 0]), head(ys[:, 0])
+        if self.normalize:
+            x_out, y_out = l2norm(x_out), l2norm(y_out)
+        return x_out, y_out
