@@ -1,0 +1,126 @@
+"""Shared CLI wiring: model/loss/miner/optimizer assembly from a Config."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import losses, miners
+from .. import models as archs
+from ..core.config import Config
+from ..engine.train import (
+    TrainState,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from ..parallel.mesh import create_mesh
+
+
+def seed_everything(seed: int):
+    np.random.seed(seed)
+    import random
+
+    random.seed(seed)
+
+
+def build_labels(opt: Config, params, loss_params):
+    """Label pytree for parameter groups: model / fc (optional own lr) /
+    frozen (zeroed updates) / criterion."""
+    trainable = archs.frozen_param_mask(opt.arch, params)
+
+    def decide(path, train_ok):
+        keys = "/".join(str(getattr(p, "key", "")) for p in path)
+        if not train_ok:
+            return "frozen"
+        if opt.fc_lr > 0 and ("head" in keys or "last_linear" in keys):
+            return "fc"
+        return "model"
+
+    model_labels = jax.tree_util.tree_map_with_path(decide, trainable)
+    crit_labels = jax.tree.map(lambda _: "criterion", loss_params)
+    return {"model": model_labels, "criterion": crit_labels}
+
+
+def build_training(opt: Config, steps_per_epoch: int, sample_images: np.ndarray):
+    """Assemble (model, criterion, state, step_fn, mesh)."""
+    model = archs.select(opt.arch, opt)
+    miner = (
+        miners.select(opt.batch_mining, opt)
+        if losses.LOSSES[opt.loss].REQUIRES_BATCHMINER
+        else None
+    )
+    criterion, groups = losses.select(opt.loss, opt, miner)
+
+    rng = jax.random.PRNGKey(opt.seed)
+    variables = model.init(
+        {"params": rng}, jnp.asarray(sample_images[:2]), train=False
+    )
+    variables = load_pretrained_into(opt, variables)
+    loss_params = criterion.init_params(jax.random.fold_in(rng, 1))
+
+    labels = build_labels(opt, variables["params"], loss_params)
+    group_lrs = {"model": opt.lr, "criterion": getattr(criterion, "lr", None) or opt.lr}
+    if opt.fc_lr > 0:
+        group_lrs["fc"] = opt.fc_lr
+    present = set(jax.tree.leaves(labels))
+    if "frozen" in present:
+        group_lrs["frozen"] = 0.0
+
+    tx = make_optimizer(
+        opt.optim, opt.lr, opt.decay, opt.tau, opt.gamma, steps_per_epoch,
+        group_lrs=group_lrs,
+        label_fn=labels,
+    )
+
+    from flax.core import FrozenDict
+
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", FrozenDict({})),
+        loss_params=loss_params,
+        opt_state=tx.init(
+            {"model": variables["params"], "criterion": loss_params}
+        ),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+    mesh = create_mesh(mesh_shape=opt.mesh_shape) if opt.device_batch else None
+    pass_cls = opt.loss in ("margin_diml", "multisimilarity_diml") and opt.use_cls_token
+    step_fn = make_train_step(
+        model.apply, criterion, tx, mesh=mesh, pass_class_token=pass_cls,
+        donate=True,
+    )
+    return model, criterion, state, step_fn, mesh
+
+
+def load_pretrained_into(opt: Config, variables):
+    """Convert a torch checkpoint into the init pytree when configured."""
+    if not opt.pretrained_ckpt or not os.path.exists(opt.pretrained_ckpt):
+        return variables
+    import torch
+
+    from ..core import convert
+
+    sd = torch.load(opt.pretrained_ckpt, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model" in sd and hasattr(sd["model"], "keys"):
+        sd = sd["model"]
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    a = opt.arch.lower()
+    if a.startswith("cvt"):
+        p, s = convert.convert_cvt(sd, include_head=False)
+    else:
+        raise NotImplementedError(f"converter for {opt.arch} pending")
+    out = dict(variables)
+    out["params"] = convert.merge_params(dict(variables["params"]), p)
+    if s:
+        out["batch_stats"] = convert.merge_params(
+            dict(variables.get("batch_stats", {})), s
+        )
+    return out

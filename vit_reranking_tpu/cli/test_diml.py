@@ -1,0 +1,115 @@
+"""DIML rerank evaluation — generic engine behind the test_diml_* entry points
+(reference test_diml_cvt.py / test_diml_base.py / test_diml_vit.py /
+test_diml_swin.py).
+
+Loads a checkpoint, embeds the test split (with rollout extraction for the
+flagship CvT path), runs stage-0 retrieval + OT rerank for every requested
+truncation, prints the metric table and appends a row to
+``test_results/test_diml_{dataset}.csv`` (reference test_diml_cvt.py:155-161).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import models as archs
+from ..core.checkpoint import load_checkpoint
+from ..core.config import Config, from_args
+from ..data.loader import build_dataset
+from ..engine.extract import extract_features
+from ..engine.rerank_eval import rerank_evaluate
+from .common import load_pretrained_into, seed_everything
+
+
+def run_eval(opt: Config, trunc_nums=(0, 100)):
+    seed_everything(opt.seed)
+    loaders, _ = build_dataset(opt)
+    test_loader = loaders["testing"]
+
+    model = archs.select(opt.arch, opt)
+    _, images0, _ = next(iter(test_loader))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(opt.seed)}, jnp.asarray(images0[:2]), train=False
+    )
+    variables = load_pretrained_into(opt, variables)
+    if opt.resume_path:
+        restored = load_checkpoint(opt.resume_path)
+        variables = {
+            "params": restored["params"],
+            "batch_stats": restored.get("batch_stats", {}),
+        }
+
+    t0 = time.time()
+    feats = extract_features(
+        model, variables, test_loader,
+        grid_size=opt.grid_size,
+        use_rollout=opt.use_rollout,
+        training_mode=opt.training,
+        pad_batch=opt.bs,
+    )
+    print(f"embedded {len(feats['labels'])} images in {time.time()-t0:.1f}s")
+
+    method = "rollout" if opt.use_rollout else "featvit"
+    flags = dict(
+        use_uniform=opt.use_uniform,
+        use_inverse=opt.use_inverse,
+        temperature=opt.temperature,
+        use_cls_token=opt.use_cls_token,
+        use_minus=opt.use_minus,
+        ot_part=opt.ot_part,
+        use_ot=opt.use_ot,
+    )
+    trunc_nums = tuple(t for t in trunc_nums if t == 0 or t < len(feats["labels"]))
+    t0 = time.time()
+    results = rerank_evaluate(
+        jnp.asarray(feats["bank"]),
+        jnp.asarray(feats["center"]),
+        jnp.asarray(feats["labels"]),
+        rollout=jnp.asarray(feats["rollout"]) if opt.use_rollout else None,
+        trunc_nums=trunc_nums,
+        method=method,
+        flags=flags,
+    )
+    dt = time.time() - t0
+    n_pairs = len(feats["labels"]) * max(trunc_nums)
+    print(f"rerank eval in {dt:.1f}s ({n_pairs/max(dt,1e-9):,.0f} pairs/s)")
+
+    for trunc in trunc_nums:
+        print(f"trunc_num: {trunc}, ot part: {opt.ot_part}")
+        print("###########")
+        print(
+            "Now rank-1 acc=%f, RP=%f, MAP@R=%f"
+            % (results["r1"][trunc], results["rp"][trunc], results["mapr"][trunc])
+        )
+
+    os.makedirs("test_results", exist_ok=True)
+    out_csv = f"test_results/test_diml_{opt.dataset}.csv"
+    write_header = not os.path.exists(out_csv)
+    with open(out_csv, "a", newline="") as f:
+        w = csv.writer(f)
+        if write_header:
+            w.writerow(
+                ["arch", "grid", "ot_part", "method"]
+                + [f"{m}@{t}" for m in ("r1", "rp", "mapr") for t in trunc_nums]
+            )
+        w.writerow(
+            [opt.arch, opt.grid_size, opt.ot_part, method]
+            + [round(results[m][t], 4) for m in ("r1", "rp", "mapr") for t in trunc_nums]
+        )
+    return results
+
+
+def main(argv=None):
+    opt = from_args(argv)
+    return run_eval(opt, trunc_nums=(0, 100))
+
+
+if __name__ == "__main__":
+    main()

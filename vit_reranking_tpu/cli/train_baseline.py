@@ -1,0 +1,124 @@
+"""Step-1 global-embedding DML training (reference train_baseline.py).
+
+Same flags, same loop shape: per-epoch training with on-device mining and
+loss, eval every ``--evalevery`` epochs (full test-set embed -> NxN cosine
+with self-masking -> R@1/RP/MAP@R), best-checkpoint copy on R@1, patience
+early stop (train_baseline.py:166-337).
+
+Run: python -m vit_reranking_tpu.cli.train_baseline --dataset synthetic \
+        --arch cvt_13_normalize --loss margin --batch_mining distance ...
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.checkpoint import copy_best, load_checkpoint, save_checkpoint
+from ..core.config import from_args
+from ..core.logger import RunLogger
+from ..data.loader import build_dataset
+from ..engine.extract import extract_features
+from ..engine.metrics import metrics_from_scores, summarize
+from ..engine.train import TrainState
+from ..ops.topk import similarity_matrix
+from ..parallel.mesh import shard_batch
+from .common import build_training, seed_everything
+
+
+def evaluate_plain(model, variables, loader, pad_batch=None):
+    """In-train eval (train_baseline.py:247-326): embed, NxN cosine, metrics."""
+    feats = extract_features(model, variables, loader, grid_size=1, pad_batch=pad_batch)
+    centers = jnp.asarray(feats["center"])
+    labels = jnp.asarray(feats["labels"])
+    sims = similarity_matrix(centers, centers, mask_self=True)
+    return summarize(metrics_from_scores(sims, labels, labels, mask_diagonal=False))
+
+
+def main(argv=None):
+    opt = from_args(argv)
+    seed_everything(opt.seed)
+
+    loaders, sampler = build_dataset(opt)
+    train_loader = loaders["training"]
+    steps_per_epoch = len(train_loader)
+
+    _, images0, _ = next(iter(loaders["testing"]))
+    model, criterion, state, step_fn, mesh = build_training(
+        opt, steps_per_epoch, images0
+    )
+    logger = RunLogger(opt)
+    print(f"[train_baseline] run dir: {logger.run_dir}")
+
+    if opt.resume_path:
+        restored = load_checkpoint(opt.resume_path, target=state)
+        state = restored
+
+    best_r1, patience_ctr = -1.0, 0
+    key = jax.random.PRNGKey(opt.seed + 1)
+    step = 0
+    for epoch in range(opt.start_epoch, opt.n_epochs):
+        t0 = time.time()
+        epoch_losses = []
+        for lab, images, idx in train_loader:
+            key, sub = jax.random.split(key)
+            batch = (jnp.asarray(images), jnp.asarray(lab))
+            if mesh is not None:
+                images_d, labels_d = shard_batch(mesh, (np.asarray(images), np.asarray(lab)))
+                sub_d = jax.device_put(
+                    sub, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+                )
+                state, m = step_fn(state, images_d, labels_d, sub_d)
+            else:
+                state, m = step_fn(state, batch[0], batch[1], sub)
+            epoch_losses.append(float(m["loss"]))
+            step += 1
+        logger.log(
+            "Train",
+            {
+                "loss": float(np.mean(epoch_losses)),
+                "grad_l2": float(m["grad_l2"]),
+                "grad_max": float(m["grad_max"]),
+                "epoch_s": time.time() - t0,
+            },
+            epoch,
+        )
+        print(
+            f"epoch {epoch}: loss={np.mean(epoch_losses):.4f} "
+            f"({time.time()-t0:.1f}s, {steps_per_epoch} steps)"
+        )
+
+        if epoch % opt.evalevery == 0 or epoch == opt.n_epochs - 1:
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            metrics = evaluate_plain(model, variables, loaders["testing"], pad_batch=opt.bs)
+            logger.log("Test", metrics, epoch)
+            print(f"  eval: {metrics}")
+            ckpt = {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "loss_params": state.loss_params,
+                "opt_state": state.opt_state,
+                "step": state.step,
+                "epoch": epoch,
+            }
+            save_checkpoint(f"{logger.run_dir}/latest", ckpt, metrics)
+            if metrics["r1"] > best_r1:
+                best_r1 = metrics["r1"]
+                copy_best(logger.run_dir)
+                patience_ctr = 0
+            else:
+                patience_ctr += 1
+                if patience_ctr >= opt.max_patience:
+                    print("early stop: patience exceeded")
+                    break
+    logger.plot_curves()
+    print(f"best R@1: {best_r1:.3f}")
+    return best_r1
+
+
+if __name__ == "__main__":
+    main()

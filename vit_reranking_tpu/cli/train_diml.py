@@ -1,0 +1,126 @@
+"""Structural (OT) loss training + rerank evaluation (reference train_diml.py).
+
+Same skeleton as train_baseline, but the model is the DIML per-patch variant,
+the criterion receives the cls embedding as ``class_token``
+(train_diml.py:249-258), and the in-train evaluation reranks the top-100 with
+``calc_similarity`` stage 1 (train_diml.py:297-402, trunc=100).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.checkpoint import copy_best, load_checkpoint, save_checkpoint
+from ..core.config import from_args
+from ..core.logger import RunLogger
+from ..data.loader import build_dataset
+from ..engine.extract import extract_features
+from ..engine.rerank_eval import rerank_evaluate
+from ..parallel.mesh import shard_batch
+from .common import build_training, seed_everything
+
+
+def evaluate_rerank(opt, model, variables, loader, trunc=100):
+    feats = extract_features(
+        model, variables, loader, grid_size=opt.grid_size,
+        training_mode=True, pad_batch=opt.bs,
+    )
+    n = len(feats["labels"])
+    truncs = (0, trunc) if trunc < n else (0,)
+    res = rerank_evaluate(
+        jnp.asarray(feats["bank"]), jnp.asarray(feats["center"]),
+        jnp.asarray(feats["labels"]),
+        trunc_nums=truncs, method="featvit",
+        flags=dict(
+            use_uniform=opt.use_uniform, use_inverse=opt.use_inverse,
+            temperature=opt.temperature, use_cls_token=opt.use_cls_token,
+            use_minus=opt.use_minus, ot_part=opt.ot_part,
+        ),
+    )
+    t = truncs[-1]
+    return {
+        "r1": res["r1"][t], "rp": res["rp"][t], "mapr": res["mapr"][t],
+        "r1_global": res["r1"][0],
+    }
+
+
+def main(argv=None):
+    opt = from_args(argv)
+    if "diml" not in opt.arch:
+        opt = opt.replace(arch=opt.arch.replace("cvt", "cvt_diml", 1)) if opt.arch.startswith("cvt") else opt
+    seed_everything(opt.seed)
+
+    loaders, sampler = build_dataset(opt)
+    train_loader = loaders["training"]
+    steps_per_epoch = len(train_loader)
+    _, images0, _ = next(iter(loaders["testing"]))
+
+    model, criterion, state, step_fn, mesh = build_training(opt, steps_per_epoch, images0)
+    logger = RunLogger(opt)
+    print(f"[train_diml] run dir: {logger.run_dir}")
+
+    if opt.resume_path:
+        state = load_checkpoint(opt.resume_path, target=state)
+
+    best_r1, patience_ctr = -1.0, 0
+    key = jax.random.PRNGKey(opt.seed + 1)
+    for epoch in range(opt.start_epoch, opt.n_epochs):
+        t0 = time.time()
+        epoch_losses = []
+        # storage-based samplers refresh their embedding storage per epoch
+        if getattr(sampler, "requires_storage", False):
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            feats = extract_features(
+                model, variables, loaders["evaluation"], grid_size=opt.grid_size,
+                training_mode=True, pad_batch=opt.bs,
+            )
+            if sampler.storage is None:
+                sampler.create_storage(feats["center"])
+            else:
+                sampler.full_storage_update(feats["center"])
+            sampler.precompute_indices()
+        for lab, images, idx in train_loader:
+            key, sub = jax.random.split(key)
+            if mesh is not None:
+                images_d, labels_d = shard_batch(mesh, (np.asarray(images), np.asarray(lab)))
+                sub_d = jax.device_put(
+                    sub, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+                )
+                state, m = step_fn(state, images_d, labels_d, sub_d)
+            else:
+                state, m = step_fn(state, jnp.asarray(images), jnp.asarray(lab), sub)
+            epoch_losses.append(float(m["loss"]))
+        logger.log("Train", {"loss": float(np.mean(epoch_losses))}, epoch)
+        print(f"epoch {epoch}: loss={np.mean(epoch_losses):.4f} ({time.time()-t0:.1f}s)")
+
+        if epoch % opt.evalevery == 0 or epoch == opt.n_epochs - 1:
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            metrics = evaluate_rerank(opt, model, variables, loaders["testing"])
+            logger.log("Test", metrics, epoch)
+            print(f"  eval: {metrics}")
+            ckpt = {
+                "params": state.params, "batch_stats": state.batch_stats,
+                "loss_params": state.loss_params, "opt_state": state.opt_state,
+                "step": state.step, "epoch": epoch,
+            }
+            save_checkpoint(f"{logger.run_dir}/latest", ckpt, metrics)
+            if metrics["r1"] > best_r1:
+                best_r1 = metrics["r1"]
+                copy_best(logger.run_dir)
+                patience_ctr = 0
+            else:
+                patience_ctr += 1
+                if patience_ctr >= opt.max_patience:
+                    print("early stop: patience exceeded")
+                    break
+    logger.plot_curves()
+    print(f"best R@1: {best_r1:.3f}")
+    return best_r1
+
+
+if __name__ == "__main__":
+    main()

@@ -196,6 +196,9 @@ class Config:
 
     # ---- TPU-framework additions (not in the reference)
     n_classes: int = 0  # filled in by the dataset
+    synthetic_classes: int = 8
+    synthetic_per_class: int = 16
+    synthetic_size: int = 224
     device_batch: bool = True  # shard batches over the data mesh axis
     mesh_shape: Optional[str] = None  # e.g. "data:8" or "data:4,model:2"
     bf16: bool = True  # backbone compute dtype

@@ -1,0 +1,155 @@
+"""DML datasets: CUB200, Cars196, Stanford Online Products (+ synthetic).
+
+The reference imports a ``datasets`` package that is MISSING from its repo
+(SURVEY.md section 0.1); the contract is reconstructed from call sites
+(train_baseline.py:44,92-93,194, train_diml.py:109-122, test_diml_cvt.py:78):
+
+  * ``select(name, opt, source_path) -> {'training','testing','evaluation'}``
+  * each dataset exposes ``image_dict`` (class -> [(path, idx), ...]),
+    ``image_list`` ([(path, class), ...]), ``avail_classes``
+  * ``__getitem__`` returns ``(label, image_NHWC_float32, index)``
+  * splits follow the RevisitDML convention: first half of classes = train,
+    second half = test (CUB 100/100, Cars 98/98, SOP 11318/11316)
+
+A ``synthetic`` dataset (procedural class-colored noise images) is included
+for tests and zero-egress smoke runs.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from .transforms import EvalTransform, TrainTransform
+
+
+class ImageDataset:
+    """Path-list dataset with the reference's attribute contract."""
+
+    def __init__(self, image_list, transform, n_total_classes=None):
+        # image_list: [(path_or_None, class), ...]
+        self.image_list = list(image_list)
+        self.transform = transform
+        self.image_dict: Dict[int, List[Tuple[str, int]]] = defaultdict(list)
+        for idx, (path, cls) in enumerate(self.image_list):
+            self.image_dict[cls].append((path, idx))
+        self.image_dict = dict(self.image_dict)
+        self.avail_classes = sorted(self.image_dict.keys())
+        self.n_classes = n_total_classes or len(self.avail_classes)
+        self.is_validation = False
+
+    def __len__(self):
+        return len(self.image_list)
+
+    def load_image(self, idx: int) -> np.ndarray:
+        path, _ = self.image_list[idx]
+        return self.transform(Image.open(path))
+
+    def __getitem__(self, idx: int):
+        label = self.image_list[idx][1]
+        return label, self.load_image(idx), idx
+
+
+class SyntheticDataset(ImageDataset):
+    """Procedural dataset: each class is a distinct smooth color/texture
+    pattern + noise; separable enough that retrieval metrics are meaningful."""
+
+    def __init__(self, n_classes=8, per_class=16, size=224, seed=0, train=True):
+        self.size = size
+        self.seed = seed
+        image_list = [
+            (None, c) for c in range(n_classes) for _ in range(per_class)
+        ]
+        super().__init__(image_list, transform=None)
+        rng = np.random.default_rng(seed)
+        self._protos = rng.uniform(-1, 1, (n_classes, 4, 4, 3)).astype(np.float32)
+
+    def load_image(self, idx: int) -> np.ndarray:
+        cls = self.image_list[idx][1]
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        base = self._protos[cls]
+        img = np.kron(base, np.ones((self.size // 4, self.size // 4, 1), np.float32))
+        img = img + 0.35 * rng.standard_normal(img.shape).astype(np.float32)
+        return img.astype(np.float32)
+
+
+def _cub200_lists(source_path):
+    img_root = os.path.join(source_path, "images")
+    classes = sorted(os.listdir(img_root))
+    files = {
+        c: sorted(
+            os.path.join(img_root, c, f)
+            for f in os.listdir(os.path.join(img_root, c))
+            if f.lower().endswith((".jpg", ".jpeg", ".png"))
+        )
+        for c in classes
+    }
+    train_classes = classes[: len(classes) // 2]
+    test_classes = classes[len(classes) // 2 :]
+    mk = lambda cs: [
+        (p, ci) for ci, c in enumerate(cs) for p in files[c]
+    ]
+    return mk(train_classes), mk(test_classes)
+
+
+def _cars196_lists(source_path):
+    img_root = os.path.join(source_path, "images")
+    if os.path.isdir(img_root):
+        return _cub200_lists(source_path)  # same per-class-dir layout
+    raise FileNotFoundError(f"cars196 images/ not found under {source_path}")
+
+
+def _sop_lists(source_path):
+    def parse(fname):
+        out = []
+        with open(os.path.join(source_path, fname)) as f:
+            next(f)  # header
+            for line in f:
+                _, class_id, _, path = line.strip().split(" ")
+                out.append((os.path.join(source_path, path), int(class_id) - 1))
+        return out
+
+    train = parse("Ebay_train.txt")
+    test = parse("Ebay_test.txt")
+    # remap test class ids to be 0-based contiguous
+    t_classes = sorted({c for _, c in test})
+    remap = {c: i for i, c in enumerate(t_classes)}
+    test = [(p, remap[c]) for p, c in test]
+    tr_classes = sorted({c for _, c in train})
+    remap_tr = {c: i for i, c in enumerate(tr_classes)}
+    train = [(p, remap_tr[c]) for p, c in train]
+    return train, test
+
+
+def select(name: str, opt, source_path: Optional[str] = None):
+    """Dataset dispatcher (contract of the reference's missing datasets pkg)."""
+    source_path = source_path or os.path.join(opt.source_path, name)
+    aug = getattr(opt, "augmentation", "base")
+    seed = getattr(opt, "seed", 0)
+
+    if name == "synthetic":
+        n_cls = getattr(opt, "synthetic_classes", 8)
+        per = getattr(opt, "synthetic_per_class", 16)
+        size = getattr(opt, "synthetic_size", 224)
+        train = SyntheticDataset(n_cls, per, size, seed=seed)
+        test = SyntheticDataset(n_cls, per, size, seed=seed + 1)
+        ev = SyntheticDataset(n_cls, per, size, seed=seed)
+    else:
+        if name == "cub200":
+            tr, te = _cub200_lists(source_path)
+        elif name == "cars196":
+            tr, te = _cars196_lists(source_path)
+        elif name == "online_products":
+            tr, te = _sop_lists(source_path)
+        else:
+            raise NotImplementedError(f"dataset {name} unknown")
+        train = ImageDataset(tr, TrainTransform(aug, seed))
+        test = ImageDataset(te, EvalTransform(aug))
+        ev = ImageDataset(tr, EvalTransform(aug))
+        ev.is_validation = True
+
+    return {"training": train, "testing": test, "evaluation": ev}

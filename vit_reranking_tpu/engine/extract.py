@@ -1,0 +1,97 @@
+"""Feature-bank extraction: jitted batched embedding of a whole dataset.
+
+Phase A of the rerank evaluation (reference eval_cvt_diml.py:225-305): run the
+model over the eval loader, collect
+  * global embedding centers (N, C)
+  * patch feature bank (N, C, R) — head-projected token maps pooled to the
+    DIML grid in eval mode (eval_cvt_diml.py:265-276), or the model's per-patch
+    output in training mode (eval_cvt_diml.py:280-285)
+  * rollout saliency (N, R) when requested
+then L2-normalize over the channel axis (eval_cvt_diml.py:304-305).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.pooling import grid_resize_tokens
+from ..ops.rollout import rollout_saliency
+from ..ops.similarity import l2_normalize
+
+
+def make_embed_fn(
+    model, grid_size: int = 7, use_rollout: bool = False, training_mode: bool = False
+):
+    """Returns a jitted fn(variables, images) -> dict of per-batch features."""
+
+    def embed(variables, images):
+        out, (enc_out, no_avg_feat), aux = model.apply(
+            variables, images, train=False, ret_attn=use_rollout
+        )
+        res: Dict[str, jnp.ndarray] = {}
+        if training_mode:
+            # DIML models: out IS the per-patch map (B, g, g, D)
+            B = out.shape[0]
+            per = out.reshape(B, -1, out.shape[-1]).transpose(0, 2, 1)  # (B, D, R)
+            res["bank"] = per
+            res["center"] = enc_out
+        else:
+            tokens = aux.get("head_tokens")
+            if tokens is None:
+                # generic path: project tokens through nothing; use raw map
+                tokens = no_avg_feat
+            B, L, D = tokens.shape
+            s = int(round(L**0.5))
+            fmap = tokens.transpose(0, 2, 1).reshape(B, D, s, s)
+            fmap = grid_resize_tokens(fmap, grid_size)
+            res["bank"] = fmap.reshape(B, D, grid_size * grid_size)
+            res["center"] = out
+        if use_rollout:
+            res["rollout"] = rollout_saliency(aux["rollout_maps"])
+        return res
+
+    return jax.jit(embed)
+
+
+def extract_features(
+    model,
+    variables,
+    loader,
+    grid_size: int = 7,
+    use_rollout: bool = False,
+    training_mode: bool = False,
+    pad_batch: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Run the embed fn over a loader; returns numpy arrays
+    {'bank' (N,C,R), 'center' (N,C), 'labels' (N,), 'rollout' (N,R)?}.
+
+    Batches are padded to a fixed size to avoid shape-churn recompiles."""
+    embed = make_embed_fn(model, grid_size, use_rollout, training_mode)
+    banks, centers, rolls, labels = [], [], [], []
+    for lab, images, idx in loader:
+        n = images.shape[0]
+        B = pad_batch or n
+        if n < B:
+            images = np.concatenate(
+                [images, np.zeros((B - n, *images.shape[1:]), images.dtype)], 0
+            )
+        res = embed(variables, jnp.asarray(images))
+        banks.append(np.asarray(res["bank"][:n]))
+        centers.append(np.asarray(res["center"][:n]))
+        if use_rollout:
+            rolls.append(np.asarray(res["rollout"][:n]))
+        labels.append(np.asarray(lab))
+    bank = np.concatenate(banks, 0)
+    center = np.concatenate(centers, 0)
+    out = {
+        "bank": np.asarray(l2_normalize(jnp.asarray(bank), axis=1)),
+        "center": np.asarray(l2_normalize(jnp.asarray(center), axis=1)),
+        "labels": np.concatenate(labels, 0),
+    }
+    if use_rollout:
+        out["rollout"] = np.concatenate(rolls, 0)
+    return out
