@@ -38,27 +38,24 @@ def make_problem(rng):
 def bench_tpu(fb, centers, rollout, top_inds):
     import jax
     import jax.numpy as jnp
-    from vit_reranking_tpu.ops.similarity import calc_similarity_rollout
+    from vit_reranking_tpu.ops.rerank_pallas import fused_rollout_rerank_scores
 
     fb_j = jnp.asarray(fb)
     c_j = jnp.asarray(centers)
     r_j = jnp.asarray(rollout)
     inds = jnp.asarray(top_inds)
+    interpret = jax.default_backend() != "tpu"
 
-    def rerank_one(anchor, center, roll, idx):
-        sim, _ = calc_similarity_rollout(
-            center, anchor, roll, c_j[idx], fb_j[idx], r_j[idx], stage=1
-        )
-        return sim
-
-    fn = jax.jit(jax.vmap(rerank_one))
-    out = fn(fb_j, c_j, r_j, inds)
-    out.block_until_ready()  # compile
+    fn = lambda: fused_rollout_rerank_scores(
+        fb_j, c_j, r_j, inds, query_tile=256, interpret=interpret
+    )
+    # NOTE: under the axon remote runtime block_until_ready() can return
+    # before execution completes — force a host transfer to time honestly
+    np.asarray(fn())  # compile + warm
     n_rep = 5
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        out = fn(fb_j, c_j, r_j, inds)
-    out.block_until_ready()
+        out = np.asarray(fn())
     dt = (time.perf_counter() - t0) / n_rep
     return Q * K / dt
 

@@ -1,0 +1,91 @@
+"""Fused Pallas rerank kernel vs the XLA reference path (interpret mode on
+the CPU test mesh; the real-TPU runs are covered by bench.py and the driver)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vit_reranking_tpu.ops.rerank_pallas import (
+    fused_featvit_rerank_scores,
+    fused_rollout_rerank_scores,
+)
+from vit_reranking_tpu.ops.similarity import calc_similarity, calc_similarity_rollout
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(0)
+    Q, K, C, R = 16, 8, 32, 49
+    fb = rng.standard_normal((Q, C, R)).astype(np.float32)
+    fb /= np.linalg.norm(fb, axis=1, keepdims=True)
+    centers = fb.mean(-1)
+    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+    roll = np.abs(rng.standard_normal((Q, R))).astype(np.float32)
+    sims = centers @ centers.T
+    np.fill_diagonal(sims, -100)
+    top = np.argsort(-sims, 1)[:, :K].astype(np.int32)
+    return tuple(map(jnp.asarray, (fb, centers, roll, top)))
+
+
+def test_fused_rollout_matches_xla(problem):
+    fb, centers, roll, top = problem
+    Q = fb.shape[0]
+
+    def one(i):
+        s, _ = calc_similarity_rollout(
+            centers[i], fb[i], roll[i], centers[top[i]], fb[top[i]], roll[top[i]],
+            stage=1,
+        )
+        return s
+
+    ref = jax.vmap(one)(jnp.arange(Q))
+    out = fused_rollout_rerank_scores(
+        fb, centers, roll, top, query_tile=16, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [dict(use_uniform=True), dict(use_inverse=True, temperature=0.1), dict()],
+)
+def test_fused_featvit_matches_xla(problem, flags):
+    fb, centers, roll, top = problem
+    Q = fb.shape[0]
+
+    def one(i):
+        s, _ = calc_similarity(
+            fb[i], centers[i], fb[top[i]], centers[top[i]], stage=1,
+            use_cls_token=True, **flags,
+        )
+        return s
+
+    ref = jax.vmap(one)(jnp.arange(Q))
+    out = fused_featvit_rerank_scores(
+        fb, centers, top, query_tile=16, use_cls_token=True, interpret=True, **flags
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_rerank_evaluate_fused_vs_xla_metrics():
+    from vit_reranking_tpu.engine.rerank_eval import rerank_evaluate
+
+    rng = np.random.default_rng(1)
+    N, C, R, ncls = 128, 16, 49, 8
+    protos = rng.standard_normal((ncls, C)).astype(np.float32)
+    labels = np.repeat(np.arange(ncls), N // ncls)
+    fb = protos[labels][:, :, None] + 0.8 * rng.standard_normal((N, C, R)).astype(np.float32)
+    fb /= np.linalg.norm(fb, axis=1, keepdims=True)
+    centers = fb.mean(-1)
+    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+    fb, centers, labels = jnp.asarray(fb), jnp.asarray(centers), jnp.asarray(labels)
+
+    kw = dict(
+        trunc_nums=(0, 8), method="featvit",
+        flags=dict(use_uniform=True, use_cls_token=True), query_block=32,
+    )
+    res_fused = rerank_evaluate(fb, centers, labels, use_fused=True, **kw)
+    res_xla = rerank_evaluate(fb, centers, labels, use_fused=False, **kw)
+    for m in ("r1", "rp", "mapr"):
+        assert abs(res_fused[m][8] - res_xla[m][8]) < 0.5, (m, res_fused[m], res_xla[m])

@@ -65,6 +65,7 @@ def rerank_evaluate(
     flags: Optional[dict] = None,
     query_block: int = 128,
     head_k: Optional[int] = None,
+    use_fused: Optional[bool] = None,
 ) -> Dict[str, Dict[int, float]]:
     """Full evaluation: returns {'r1'|'rp'|'mapr': {trunc: percent}}.
 
@@ -99,27 +100,62 @@ def rerank_evaluate(
         top_inds = approx_tops[:, :K]
         top_vals = vals[:, :K]
 
-        rerank_one = functools.partial(_rerank_tile, method=method, flags=flags)
-        dummy_roll = rollout if rollout is not None else jnp.zeros((N, 1))
+        ot_part = float(flags.get("ot_part", 1.0))
+        # fused Pallas path covers full OT (no dustbin) with the standard
+        # marginal variants; partial OT and exotic paths use the XLA kernels
+        if use_fused is None:
+            use_fused = ot_part > 0.999 and flags.get("use_ot", True) and method in (
+                "rollout", "featvit",
+            )
+        interpret = jax.default_backend() != "tpu"
 
-        @jax.jit
-        def tile_fn(anchor, anchor_center, anchor_roll, inds):
-            return jax.vmap(rerank_one)(
-                anchor, anchor_center, anchor_roll,
-                feature_bank[inds], feature_bank_center[inds], dummy_roll[inds],
+        if use_fused:
+            from ..ops.rerank_pallas import (
+                fused_featvit_rerank_scores,
+                fused_rollout_rerank_scores,
             )
 
-        sims = []
-        for s in range(0, N, query_block):
-            e = min(s + query_block, N)
-            # pad the last tile to the block size to avoid a recompile
-            idx = jnp.arange(s, s + query_block) % N
-            tile = tile_fn(
-                feature_bank[idx], feature_bank_center[idx], dummy_roll[idx],
-                top_inds[idx],
-            )
-            sims.append(tile[: e - s])
-        ot_sims = jnp.concatenate(sims, axis=0)  # (N, K)
+            if method == "rollout":
+                ot_sims = fused_rollout_rerank_scores(
+                    feature_bank, feature_bank_center, rollout, top_inds,
+                    query_tile=query_block,
+                    use_uniform=flags.get("use_uniform", False),
+                    interpret=interpret,
+                )
+            else:
+                ot_sims = fused_featvit_rerank_scores(
+                    feature_bank, feature_bank_center, top_inds,
+                    query_tile=query_block,
+                    use_uniform=flags.get("use_uniform", False),
+                    use_inverse=flags.get("use_inverse", False),
+                    use_minus=flags.get("use_minus", False),
+                    use_soft=flags.get("use_soft", False),
+                    use_cls_token=flags.get("use_cls_token", False),
+                    temperature=flags.get("temperature", 1.0),
+                    interpret=interpret,
+                )
+        else:
+            rerank_one = functools.partial(_rerank_tile, method=method, flags=flags)
+            dummy_roll = rollout if rollout is not None else jnp.zeros((N, 1))
+
+            @jax.jit
+            def tile_fn(anchor, anchor_center, anchor_roll, inds):
+                return jax.vmap(rerank_one)(
+                    anchor, anchor_center, anchor_roll,
+                    feature_bank[inds], feature_bank_center[inds], dummy_roll[inds],
+                )
+
+            sims = []
+            for s in range(0, N, query_block):
+                e = min(s + query_block, N)
+                # pad the last tile to the block size to avoid a recompile
+                idx = jnp.arange(s, s + query_block) % N
+                tile = tile_fn(
+                    feature_bank[idx], feature_bank_center[idx], dummy_roll[idx],
+                    top_inds[idx],
+                )
+                sims.append(tile[: e - s])
+            ot_sims = jnp.concatenate(sims, axis=0)  # (N, K)
 
         # rerank within the head by ot_sim + global sim (eval_cvt_diml.py:357)
         order = jnp.argsort(-(ot_sims + top_vals), axis=1)

@@ -1,0 +1,296 @@
+"""Fused Pallas Sinkhorn-rerank kernel — the performance-critical path.
+
+Division of labor (what each engine is good at):
+  * XLA builds the (pairs, R, R) patch-similarity tensor S with one large MXU
+    einsum and packs it into a lanes=pairs layout (R_s, R_m, P).
+  * Pallas runs the 100 Sinkhorn scaling iterations entirely in VMEM and
+    reduces straight to the final ``sum(T * S)`` scores — S/K are read from
+    HBM exactly once, instead of on every iteration like the pure-XLA path
+    (ops/similarity.py), which is ~100x the HBM traffic.
+
+Layout: pairs ride the 128-lane axis, R_m rides sublanes, R_s is the unrolled
+leading axis — every loop op is a full-width VPU elementwise or reduction
+with no padding waste (R=49 would waste 2.6x as a trailing dim).
+
+Early-exit semantics: the reference freezes a whole query's candidate batch
+when the *batch-mean* residual crosses 1e-1 (utilities/diml.py:50-52); this
+kernel freezes each pair on its own mean residual — strictly finer-grained,
+same fixed upper bound of ``iters``.  The XLA path remains the bit-faithful
+reference implementation; rerank metrics agree to float tolerance.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PAIR_LANES = 256  # pairs per grid step (P); multiple of 128
+
+
+def _sinkhorn_score_kernel(S_ref, u_ref, v_ref, out_ref, *, iters, thresh, ot_temp):
+    S = S_ref[0]  # (R_s, R_m, P)
+    u = u_ref[0]  # (R_s, P)
+    v = v_ref[0]  # (R_m, P)
+    Km = jnp.exp(-(1.0 - S) / ot_temp)
+
+    r0 = jnp.ones_like(u)
+    c0 = jnp.ones_like(v)
+    # float freeze mask (bool carries fail to legalize in the Mosaic loop)
+    done0 = jnp.zeros((1, u.shape[-1]), dtype=jnp.float32)
+
+    def body(_, carry):
+        r, c, done = carry
+        # Kc[s, p] = sum_m Km[s, m, p] c[m, p]   (sublane reduction)
+        Kc = jnp.sum(Km * c[None, :, :], axis=1)
+        r_new = done * r + (1.0 - done) * (u / Kc)
+        # Ktr[m, p] = sum_s Km[s, m, p] r[s, p]  (leading-axis reduction)
+        Ktr = jnp.sum(Km * r_new[:, None, :], axis=0)
+        c_new = done * c + (1.0 - done) * (v / Ktr)
+        err = jnp.mean(jnp.abs(r_new - r), axis=0, keepdims=True)  # per pair
+        done = jnp.maximum(done, (err < thresh).astype(jnp.float32))
+        return r_new, c_new, done
+
+    r, c, _ = jax.lax.fori_loop(0, iters, body, (r0, c0, done0))
+
+    # score = sum_sm r K c S without a 3D temporary: contract m first
+    t1 = jnp.sum((Km * S) * c[None, :, :], axis=1)  # (R_s, P)
+    out_ref[0] = jnp.sum(r * t1, axis=0)[None, :]  # (1, P)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "thresh", "ot_temp", "interpret"))
+def sinkhorn_scores_packed(
+    S_packed: jnp.ndarray,
+    u_packed: jnp.ndarray,
+    v_packed: jnp.ndarray,
+    iters: int = 100,
+    thresh: float = 1e-1,
+    ot_temp: float = 0.05,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """sum(T * S) per pair from packed inputs.
+
+    Args:
+      S_packed: (nsteps, R_s, R_m, P) patch similarities, pairs on lanes.
+      u_packed: (nsteps, R_s, P); v_packed: (nsteps, R_m, P).
+    Returns: (nsteps, P) scores.
+    """
+    nsteps, Rs, Rm, P = S_packed.shape
+    kernel = functools.partial(
+        _sinkhorn_score_kernel, iters=iters, thresh=thresh, ot_temp=ot_temp
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, Rs, Rm, P), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Rs, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Rm, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nsteps, 1, P), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=nsteps * P * iters * 4 * Rs * Rm,
+            bytes_accessed=S_packed.size * 4 + out_shapebytes(nsteps, P),
+            transcendentals=nsteps * P * Rs * Rm,
+        ),
+        interpret=interpret,
+    )(
+        S_packed.astype(jnp.float32),
+        u_packed.astype(jnp.float32),
+        v_packed.astype(jnp.float32),
+    )
+    return out[:, 0, :]
+
+
+def out_shapebytes(nsteps, P):
+    return nsteps * P * 4
+
+
+def rollout_marginals(
+    rollout_q: jnp.ndarray, rollout_g: jnp.ndarray, eps: float = 1e-5
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(Q, R) query + (Q, K, R) gathered gallery rollout saliency -> (u, v)
+    marginals of the flagship path (reference diml.py:348-354)."""
+    u = jax.nn.relu(rollout_g)
+    u = u / (jnp.sum(u, axis=-1, keepdims=True) + eps)
+    v_row = jax.nn.relu(rollout_q)
+    v_row = v_row / (jnp.sum(v_row, axis=-1, keepdims=True) + eps)
+    v = jnp.broadcast_to(v_row[:, None, :], u.shape)
+    return u, v
+
+
+def _pack_pairs(x: jnp.ndarray, P: int) -> jnp.ndarray:
+    """(Npairs, ...) -> (nsteps, ..., P) with pairs on the last axis.
+    Npairs must be a multiple of P (callers pad)."""
+    n = x.shape[0]
+    rest = x.shape[1:]
+    nsteps = n // P
+    x = x.reshape(nsteps, P, *rest)
+    return jnp.moveaxis(x, 1, -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iters", "thresh", "ot_temp", "interpret", "P"),
+)
+def fused_rerank_tile(
+    anchors, fb_g, u, v, iters=100, thresh=1e-1, ot_temp=0.05, interpret=False, P=PAIR_LANES
+):
+    """One query tile: anchors (T, C, R), fb_g (T, K, C, R), u/v (T, K, R).
+    Returns (T, K) scores.  T*K must be a multiple of P."""
+    T, K, C, R = fb_g.shape
+    S = jnp.einsum(
+        "tcm,tkcs->tksm", anchors, fb_g,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )  # (T, K, R_s, R_m)
+    Sp = _pack_pairs(S.reshape(T * K, R, R), P)
+    up = _pack_pairs(u.reshape(T * K, R), P)
+    vp = _pack_pairs(v.reshape(T * K, R), P)
+    scores = sinkhorn_scores_packed(
+        Sp, up, vp, iters=iters, thresh=thresh, ot_temp=ot_temp, interpret=interpret
+    )
+    return jnp.moveaxis(scores, -1, 1).reshape(T, K)
+
+
+def fused_rollout_rerank_scores(
+    feature_bank: jnp.ndarray,
+    centers: jnp.ndarray,
+    rollout: jnp.ndarray,
+    top_inds: jnp.ndarray,
+    ot_temp: float = 0.05,
+    iters: int = 100,
+    thresh: float = 1e-1,
+    query_tile: int = 256,
+    use_uniform: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flagship rollout rerank over all queries, tiled to bound the gather.
+
+    feature_bank (N, C, R) normalized, rollout (N, R), top_inds (N, K).
+    Returns (N, K) OT scores aligned with top_inds.
+    """
+    N, C, R = feature_bank.shape
+    K = top_inds.shape[1]
+    # choose a pair-lane pack that divides the tile's pair count
+    P = PAIR_LANES
+    while (query_tile * K) % P:
+        P //= 2
+    assert P >= 128, f"query_tile*K={query_tile*K} must admit a >=128 pack"
+
+    outs = []
+    for s in range(0, N, query_tile):
+        idx = jnp.arange(s, s + query_tile) % N  # pad-wrap to fixed tile size
+        tile = _rollout_tile(
+            feature_bank, rollout, top_inds, idx,
+            iters=iters, thresh=thresh, ot_temp=ot_temp,
+            use_uniform=use_uniform, interpret=interpret, P=P,
+        )
+        outs.append(tile[: min(query_tile, N - s)])
+    return jnp.concatenate(outs, axis=0)
+
+
+def fused_featvit_rerank_scores(
+    feature_bank: jnp.ndarray,
+    centers: jnp.ndarray,
+    top_inds: jnp.ndarray,
+    ot_temp: float = 0.05,
+    iters: int = 100,
+    thresh: float = 1e-1,
+    query_tile: int = 256,
+    use_uniform: bool = False,
+    use_inverse: bool = False,
+    use_minus: bool = False,
+    use_soft: bool = False,
+    use_cls_token: bool = False,
+    temperature: float = 1.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused rerank with cross-attention marginals (the calc_similarity
+    stage-1 path, reference diml.py:77-147)."""
+    N, C, R = feature_bank.shape
+    K = top_inds.shape[1]
+    P = PAIR_LANES
+    while (query_tile * K) % P:
+        P //= 2
+    assert P >= 128
+
+    outs = []
+    for s in range(0, N, query_tile):
+        idx = jnp.arange(s, s + query_tile) % N
+        tile = _featvit_tile(
+            feature_bank, centers, top_inds, idx,
+            iters=iters, thresh=thresh, ot_temp=ot_temp,
+            use_uniform=use_uniform, use_inverse=use_inverse,
+            use_minus=use_minus, use_soft=use_soft,
+            use_cls_token=use_cls_token, temperature=temperature,
+            interpret=interpret, P=P,
+        )
+        outs.append(tile[: min(query_tile, N - s)])
+    return jnp.concatenate(outs, axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iters", "thresh", "ot_temp", "use_uniform", "use_inverse", "use_minus",
+        "use_soft", "use_cls_token", "temperature", "interpret", "P",
+    ),
+)
+def _featvit_tile(
+    feature_bank, centers, top_inds, idx,
+    iters, thresh, ot_temp, use_uniform, use_inverse, use_minus, use_soft,
+    use_cls_token, temperature, interpret, P,
+):
+    from .similarity import cross_attention_marginals, l2_normalize
+
+    K = top_inds.shape[1]
+    R = feature_bank.shape[2]
+    anchors = feature_bank[idx]  # (T, C, R)
+    fb_g = feature_bank[top_inds[idx]]  # (T, K, C, R)
+    c_g = centers[top_inds[idx]]  # (T, K, C)
+
+    def marg(anchor, anchor_center, fb, fbc):
+        if not use_cls_token:
+            anchor_center = jnp.mean(anchor, axis=1)
+            fbc = jnp.mean(fb, axis=-1)
+        anchor_center = l2_normalize(anchor_center, axis=-1)
+        fbc = l2_normalize(fbc, axis=-1)
+        u, v, _ = cross_attention_marginals(
+            anchor, anchor_center, fb, fbc,
+            use_uniform=use_uniform, use_inverse=use_inverse,
+            use_minus=use_minus, use_soft=use_soft, temperature=temperature,
+        )
+        return u, v
+
+    u, v = jax.vmap(marg)(anchors, centers[idx], fb_g, c_g)
+    return fused_rerank_tile(
+        anchors, fb_g, u, v,
+        iters=iters, thresh=thresh, ot_temp=ot_temp, interpret=interpret, P=P,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iters", "thresh", "ot_temp", "use_uniform", "interpret", "P"),
+)
+def _rollout_tile(
+    feature_bank, rollout, top_inds, idx,
+    iters, thresh, ot_temp, use_uniform, interpret, P,
+):
+    K = top_inds.shape[1]
+    R = feature_bank.shape[2]
+    fb_g = feature_bank[top_inds[idx]]  # (T, K, C, R)
+    if use_uniform:
+        u = jnp.full((idx.shape[0], K, R), 1.0 / R, jnp.float32)
+        v = u
+    else:
+        u, v = rollout_marginals(rollout[idx], rollout[top_inds[idx]])
+    return fused_rerank_tile(
+        feature_bank[idx], fb_g, u, v,
+        iters=iters, thresh=thresh, ot_temp=ot_temp, interpret=interpret, P=P,
+    )
