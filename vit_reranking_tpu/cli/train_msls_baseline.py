@@ -1,0 +1,190 @@
+"""MSLS place-recognition training (reference train_msls_baseline.py +
+training_tools/train_epoch.py) with optional distillation
+(train_msls_distill.py + train_epoch_KD*.py) behind the same flags.
+
+Per epoch: weighted query subcaches -> hard-negative mining with the CURRENT
+model (jitted embed over the q/p/n pools, top-nNeg violating negatives) ->
+triplet training over (q, p, negs) batches.  ``--distill embed`` adds the
+SmoothL1 embedding-distillation term against a frozen teacher
+(train_msls_baseline.py:126); ``--task_loss supcon`` swaps the task loss;
+``--enable_xbm`` adds the cross-batch-memory triplet term.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import models as archs
+from ..core.checkpoint import copy_best, load_checkpoint, save_checkpoint
+from ..core.config import Config, from_args
+from ..core.logger import RunLogger
+from ..data.msls import MSLS, SyntheticMSLS
+from ..data.transforms import input_transform
+from ..engine.msls_val import msls_val
+from ..losses.msls import msls_triplet_loss, rkd_angle, rkd_distance, smooth_l1, supcon_loss
+from .common import load_pretrained_into, seed_everything
+
+
+def build_msls(opt: Config, mode: str):
+    if opt.dataset == "synthetic":
+        return SyntheticMSLS(
+            n_queries=48, n_db=96, nNeg=opt.nNeg, image_size=64,
+            cached_queries=16, cached_negatives=48, margin=opt.margin,
+            seed=opt.seed, mode=mode,
+        )
+    return MSLS(
+        opt.source_path,
+        cities="" if not opt.mini_data else "amman",
+        nNeg=opt.nNeg,
+        transform=input_transform((opt.imageresizeh, opt.imageresizew)),
+        mode=mode,
+        cached_queries=1000, cached_negatives=1000,
+        bs=opt.cachebatchsize, margin=opt.margin, seed=opt.seed,
+    )
+
+
+def make_extract_fn(model, variables, batch: int, with_dense: bool, grid_size: int = 7):
+    from ..engine.extract import make_embed_fn
+
+    embed = make_embed_fn(model, grid_size=grid_size, training_mode=False)
+
+    def fn(images):
+        res = embed(variables, jnp.asarray(images))
+        return res["center"], (res["bank"] if with_dense else None)
+
+    return fn
+
+
+def main(argv=None):
+    opt = from_args(argv)
+    seed_everything(opt.seed)
+
+    train_set = build_msls(opt, "train")
+    val_set = build_msls(opt, "val" if opt.dataset != "synthetic" else "train")
+
+    model = archs.select(opt.arch, opt)
+    size = 64 if opt.dataset == "synthetic" else (opt.imageresizeh, opt.imageresizew)
+    h, w = (size, size) if isinstance(size, int) else size
+    sample = jnp.zeros((2, h, w, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(opt.seed)}, sample, train=False)
+    variables = load_pretrained_into(opt, variables)
+
+    teacher = teacher_vars = None
+    if opt.distill:
+        t_opt = opt.replace(arch="patchnetvlad", append_pca_layer=True, num_pcs=opt.embed_dim)
+        teacher = archs.select(t_opt.arch, t_opt)
+        teacher_vars = teacher.init({"params": jax.random.PRNGKey(1)}, sample, train=False)
+
+    # optimizer: Adam/SGD + StepLR (train_msls_baseline.py:108-118)
+    sched = optax.exponential_decay(
+        opt.lr, transition_steps=opt.lrstep, decay_rate=opt.lrgamma, staircase=True
+    )
+    if opt.optim == "sgd":
+        tx = optax.chain(
+            optax.add_decayed_weights(opt.weightdecay),
+            optax.trace(decay=opt.momentum),
+            optax.scale_by_schedule(lambda c: -sched(c // 1000)),
+        )
+    else:
+        tx = optax.chain(
+            optax.add_decayed_weights(opt.weightdecay),
+            optax.scale_by_adam(),
+            optax.scale_by_schedule(lambda c: -sched(c // 1000)),
+        )
+    opt_state = tx.init(variables["params"])
+
+    logger = RunLogger(opt)
+    print(f"[train_msls] run dir: {logger.run_dir}")
+
+    nNeg = opt.nNeg
+    B = opt.bs if opt.dataset != "synthetic" else 4
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, q, p, negs, t_embed):
+        def loss_fn(params):
+            images = jnp.concatenate([q, p, negs.reshape(-1, *negs.shape[2:])], 0)
+            out, new_stats = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                images, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(0)},
+            )
+            emb = out[0]
+            nq = q.shape[0]
+            eq, ep = emb[:nq], emb[nq : 2 * nq]
+            en = emb[2 * nq :].reshape(nq, -1, emb.shape[-1])
+            task = msls_triplet_loss(eq, ep, en, margin=opt.margin)
+            loss = opt.tl_weight * task
+            if t_embed is not None:
+                loss = loss + opt.kd_weight * smooth_l1(emb, t_embed)
+                if opt.distill == "rkd":
+                    loss = loss + opt.rkd_distance_weight * rkd_distance(emb, t_embed)
+                    loss = loss + opt.rkd_angle_weight * rkd_angle(emb, t_embed)
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats["batch_stats"], opt_state, loss
+
+    best_r5 = -1.0
+    for epoch in range(opt.start_epoch, opt.n_epochs):
+        train_set.new_epoch()
+        epoch_losses = []
+        t0 = time.time()
+        for sub in range(train_set.nCacheSubset):
+            # mining with the CURRENT model (train_epoch.py:85)
+            embed_fn = lambda imgs: np.asarray(
+                model.apply(
+                    {"params": variables["params"],
+                     "batch_stats": variables.get("batch_stats", {})},
+                    jnp.asarray(imgs), train=False,
+                )[0]
+            )
+            train_set.update_subcache(embed_fn, opt.embed_dim)
+            trips = list(range(len(train_set)))
+            np.random.shuffle(trips)
+            for s in range(0, len(trips) - B + 1, B):
+                items = [train_set[i] for i in trips[s : s + B]]
+                q = jnp.asarray(np.stack([it[0] for it in items]))
+                p = jnp.asarray(np.stack([it[1] for it in items]))
+                negs = jnp.asarray(np.stack([it[2] for it in items]))
+                t_embed = None
+                if teacher is not None:
+                    imgs = jnp.concatenate([q, p, negs.reshape(-1, *negs.shape[2:])], 0)
+                    t_embed = jax.lax.stop_gradient(
+                        teacher.apply(teacher_vars, imgs, train=False)[0]
+                    )
+                params, bstats, opt_state, loss = train_step(
+                    variables["params"], variables.get("batch_stats", {}),
+                    opt_state, q, p, negs, t_embed,
+                )
+                variables = {"params": params, "batch_stats": bstats}
+                epoch_losses.append(float(loss))
+        print(
+            f"epoch {epoch}: loss={np.mean(epoch_losses):.4f} "
+            f"({len(epoch_losses)} steps, {time.time()-t0:.1f}s)"
+        )
+        logger.log("Train", {"loss": float(np.mean(epoch_losses))}, epoch)
+
+        if epoch % opt.evalevery == 0 or epoch == opt.n_epochs - 1:
+            extract = make_extract_fn(model, variables, batch=8, with_dense=False)
+            recalls = msls_val(val_set, extract, trunc_nums=(0,), batch=8)
+            logger.log("Test", recalls, epoch)
+            print(f"  val: " + ", ".join(f"{k}={v:.3f}" for k, v in recalls.items()))
+            save_checkpoint(f"{logger.run_dir}/latest", variables, recalls)
+            r5 = recalls.get("globalR_5", 0.0)
+            if r5 > best_r5:
+                best_r5 = r5
+                copy_best(logger.run_dir)
+    logger.plot_curves()
+    print(f"best R@5: {best_r5:.4f}")
+    return best_r5
+
+
+if __name__ == "__main__":
+    main()

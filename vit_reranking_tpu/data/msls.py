@@ -1,0 +1,440 @@
+"""Mapillary Street-Level Sequences (MSLS) dataset + subcache hard-negative
+mining (reference training_tools/msls.py:76-584, MIT upstream lineage).
+
+Differences from the reference by design:
+  * mining descriptors come from a caller-supplied jitted ``embed_fn`` (the
+    TPU forward) instead of a torch net; similarity + ranking of the cache
+    pools run on device through ops/topk.
+  * UTM radius queries stay on host (sklearn NearestNeighbors brute), exactly
+    like the reference (msls.py:211-218) — offline metadata prep.
+
+A ``SyntheticMSLS`` with the same attribute surface (qImages/dbImages/qIdx/
+pIdx/nonNegIdx/triplets/new_epoch/update_subcache) backs tests and smoke runs
+in this zero-egress image.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+import os
+import sys
+from os.path import join
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+default_cities = {
+    "train": ["trondheim", "london", "boston", "melbourne", "amsterdam", "helsinki",
+              "tokyo", "toronto", "saopaulo", "moscow", "zurich", "paris", "bangkok",
+              "budapest", "austin", "berlin", "ottawa", "phoenix", "goa", "amman",
+              "nairobi", "manila"],
+    "val": ["cph", "sf"],
+    "test": ["miami", "athens", "buenosaires", "stockholm", "bengaluru", "kampala"],
+}
+
+
+class ImagesFromList:
+    """Path-list dataset returning (image, idx) (reference msls.py:55-73).
+    Comma-joined paths (sequences) yield lists of images."""
+
+    def __init__(self, images, transform):
+        self.images = np.asarray(images)
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, idx):
+        try:
+            imgs = [Image.open(im) for im in self.images[idx].split(",")]
+        except Exception:
+            imgs = [Image.open(self.images[0])]
+        arrs = [self.transform(im) for im in imgs]
+        return (arrs[0] if len(arrs) == 1 else arrs), idx
+
+
+class MSLS:
+    def __init__(self, root_dir, cities="", nNeg=5, transform=None, mode="train",
+                 task="im2im", subtask="all", seq_length=1, posDistThr=10,
+                 negDistThr=25, cached_queries=1000, cached_negatives=1000,
+                 positive_sampling=True, bs=24, threads=8, margin=0.1,
+                 exclude_panos=True, seed=0):
+        import pandas as pd
+        from sklearn.neighbors import NearestNeighbors
+
+        assert mode in ("train", "val", "test")
+        assert task in ("im2im", "im2seq", "seq2im", "seq2seq")
+        assert subtask in ("all", "s2w", "w2s", "o2n", "n2o", "d2n", "n2d")
+        assert seq_length % 2 == 1
+        assert (task == "im2im" and seq_length == 1) or (task != "im2im" and seq_length > 1)
+
+        if cities in default_cities:
+            self.cities = default_cities[cities]
+        elif cities == "":
+            self.cities = default_cities[mode]
+        else:
+            self.cities = cities.split(",")
+
+        self.qIdx, self.qImages, self.pIdx, self.nonNegIdx, self.dbImages = [], [], [], [], []
+        self.sideways, self.night = [], []
+        self.qEndPosList, self.dbEndPosList = [], []
+        self.all_pos_indices = []
+
+        self.nNeg = nNeg
+        self.margin = margin
+        self.posDistThr = posDistThr
+        self.negDistThr = negDistThr
+        self.cached_queries = cached_queries
+        self.cached_negatives = cached_negatives
+        self.exclude_panos = exclude_panos
+        self.mode = mode
+        self.subtask = subtask
+        self.transform = transform
+        self.bs = bs
+        self.threads = threads
+        self.rng = np.random.default_rng(seed)
+
+        if task == "im2im":
+            seq_length_q, seq_length_db = 1, 1
+        elif task == "seq2seq":
+            seq_length_q, seq_length_db = seq_length, seq_length
+        elif task == "seq2im":
+            seq_length_q, seq_length_db = seq_length, 1
+        else:
+            seq_length_q, seq_length_db = 1, seq_length
+
+        for city in self.cities:
+            subdir = "test" if city in default_cities["test"] else "train_val"
+            _lenQ, _lenDb = len(self.qImages), len(self.dbImages)
+
+            if self.mode in ("train", "val"):
+                qData = pd.read_csv(join(root_dir, subdir, city, "query", "postprocessed.csv"), index_col=0)
+                qDataRaw = pd.read_csv(join(root_dir, subdir, city, "query", "raw.csv"), index_col=0)
+                dbData = pd.read_csv(join(root_dir, subdir, city, "database", "postprocessed.csv"), index_col=0)
+                dbDataRaw = pd.read_csv(join(root_dir, subdir, city, "database", "raw.csv"), index_col=0)
+
+                qSeqKeys, qSeqIdxs = self.arange_as_seq(qData, join(root_dir, subdir, city, "query"), seq_length_q)
+                dbSeqKeys, dbSeqIdxs = self.arange_as_seq(dbData, join(root_dir, subdir, city, "database"), seq_length_db)
+
+                if self.mode == "val":
+                    qIdxF = pd.read_csv(join(root_dir, subdir, city, "query", "subtask_index.csv"), index_col=0)
+                    dbIdxF = pd.read_csv(join(root_dir, subdir, city, "database", "subtask_index.csv"), index_col=0)
+                    qSeqKeys, qSeqIdxs = self.filter(qSeqKeys, qSeqIdxs, np.where(qIdxF[self.subtask])[0])
+                    dbSeqKeys, dbSeqIdxs = self.filter(dbSeqKeys, dbSeqIdxs, np.where(dbIdxF[self.subtask])[0])
+
+                if self.exclude_panos:
+                    qSeqKeys, qSeqIdxs = self.filter(qSeqKeys, qSeqIdxs, np.where((qDataRaw["pano"] == False).values)[0])
+                    dbSeqKeys, dbSeqIdxs = self.filter(dbSeqKeys, dbSeqIdxs, np.where((dbDataRaw["pano"] == False).values)[0])
+
+                unique_qSeqIdx = np.unique(qSeqIdxs)
+                unique_dbSeqIdx = np.unique(dbSeqIdxs)
+                if len(unique_qSeqIdx) == 0 or len(unique_dbSeqIdx) == 0:
+                    continue
+
+                self.qImages.extend(qSeqKeys)
+                self.dbImages.extend(dbSeqKeys)
+                self.qEndPosList.append(len(qSeqKeys))
+                self.dbEndPosList.append(len(dbSeqKeys))
+
+                qData = qData.loc[unique_qSeqIdx]
+                dbData = dbData.loc[unique_dbSeqIdx]
+
+                utmQ = qData[["easting", "northing"]].values.reshape(-1, 2)
+                utmDb = dbData[["easting", "northing"]].values.reshape(-1, 2)
+                night = qData["night"].values
+                sideways = (qData["view_direction"] == "Sideways").values
+                index = qData.index
+
+                neigh = NearestNeighbors(algorithm="brute")
+                neigh.fit(utmDb)
+                _, pos_indices = neigh.radius_neighbors(utmQ, self.posDistThr)
+                self.all_pos_indices.extend(pos_indices)
+                if self.mode == "train":
+                    _, nI = neigh.radius_neighbors(utmQ, self.negDistThr)
+
+                frameIdx2uniq = lambda f, u: np.where(np.isin(u, f))[0]
+                uniq2seq = lambda f, s: np.where(np.isin(s, f).reshape(s.shape))[0]
+
+                for q_seq_idx in range(len(qSeqKeys)):
+                    q_frame_idxs = qSeqIdxs[q_seq_idx]
+                    q_uniq = frameIdx2uniq(q_frame_idxs, unique_qSeqIdx)
+                    p_uniq = np.unique([p for pos in pos_indices[q_uniq] for p in pos])
+                    if len(p_uniq) > 0:
+                        p_seq_idx = np.unique(uniq2seq(unique_dbSeqIdx[p_uniq], dbSeqIdxs))
+                        self.pIdx.append(p_seq_idx + _lenDb)
+                        self.qIdx.append(q_seq_idx + _lenQ)
+                        if self.mode == "train":
+                            n_uniq = np.unique([n for nn in nI[q_uniq] for n in nn])
+                            n_seq_idx = np.unique(uniq2seq(unique_dbSeqIdx[n_uniq], dbSeqIdxs))
+                            self.nonNegIdx.append(n_seq_idx + _lenDb)
+                            if np.sum(night[np.isin(index, q_frame_idxs)]) > 0:
+                                self.night.append(len(self.qIdx) - 1)
+                            if np.sum(sideways[np.isin(index, q_frame_idxs)]) > 0:
+                                self.sideways.append(len(self.qIdx) - 1)
+            else:  # test
+                qIdxF = pd.read_csv(join(root_dir, subdir, city, "query", "subtask_index.csv"), index_col=0)
+                dbIdxF = pd.read_csv(join(root_dir, subdir, city, "database", "subtask_index.csv"), index_col=0)
+                qSeqKeys, qSeqIdxs = self.arange_as_seq(qIdxF, join(root_dir, subdir, city, "query"), seq_length_q)
+                dbSeqKeys, dbSeqIdxs = self.arange_as_seq(dbIdxF, join(root_dir, subdir, city, "database"), seq_length_db)
+                qSeqKeys, qSeqIdxs = self.filter(qSeqKeys, qSeqIdxs, np.where(qIdxF[self.subtask])[0])
+                dbSeqKeys, dbSeqIdxs = self.filter(dbSeqKeys, dbSeqIdxs, np.where(dbIdxF[self.subtask])[0])
+                self.qImages.extend(qSeqKeys)
+                self.dbImages.extend(dbSeqKeys)
+                self.qIdx.extend(range(_lenQ, len(qSeqKeys) + _lenQ))
+
+        if len(self.qImages) == 0 or len(self.dbImages) == 0:
+            raise RuntimeError(
+                "No query/database images for the chosen cities/task/subtask."
+            )
+
+        self.qIdx = np.asarray(self.qIdx)
+        self.qImages = np.asarray(self.qImages)
+        self.pIdx = np.asarray(self.pIdx, dtype=object)
+        self.nonNegIdx = np.asarray(self.nonNegIdx, dtype=object)
+        self.dbImages = np.asarray(self.dbImages)
+        self.sideways = np.asarray(self.sideways)
+        self.night = np.asarray(self.night)
+        self.triplets: List = []
+
+        if mode == "train":
+            self.negCache = np.asarray([np.empty((0,), dtype=int)] * len(self.qIdx))
+            if positive_sampling:
+                self.__calcSamplingWeights__()
+            else:
+                self.weights = np.ones(len(self.qIdx)) / float(len(self.qIdx))
+
+    def __calcSamplingWeights__(self):
+        """night/sideways-weighted query sampling (msls.py:309-331)."""
+        N = len(self.qIdx)
+        self.weights = np.ones(N)
+        if len(self.night) != 0:
+            self.weights[self.night] += N / len(self.night)
+        if len(self.sideways) != 0:
+            self.weights[self.sideways] += N / len(self.sideways)
+
+    @staticmethod
+    def arange_as_seq(data, path, seq_length):
+        import pandas as pd
+
+        seqInfo = pd.read_csv(join(path, "seq_info.csv"), index_col=0)
+        seq_keys, seq_idxs = [], []
+        for idx in data.index:
+            if idx < (seq_length // 2) or idx >= (len(seqInfo) - seq_length // 2):
+                continue
+            seq_idx = np.arange(-seq_length // 2, seq_length // 2) + 1 + idx
+            seq = seqInfo.iloc[seq_idx]
+            if len(np.unique(seq["sequence_key"])) == 1 and (
+                seq["frame_number"].diff()[1:] == 1
+            ).all():
+                seq_keys.append(
+                    ",".join(join(path, "images", k + ".jpg") for k in seq["key"])
+                )
+                seq_idxs.append(seq_idx)
+        return seq_keys, np.asarray(seq_idxs)
+
+    @staticmethod
+    def filter(seqKeys, seqIdxs, center_frame_condition):
+        keys, idxs = [], []
+        for key, idx in zip(seqKeys, seqIdxs):
+            if idx[len(idx) // 2] in center_frame_condition:
+                keys.append(key)
+                idxs.append(idx)
+        return keys, np.asarray(idxs)
+
+    def __len__(self):
+        return len(self.triplets)
+
+    def new_epoch(self):
+        """Shuffled, weighted query subcaches (msls.py:399-414)."""
+        self.nCacheSubset = math.ceil(len(self.qIdx) / self.cached_queries)
+        p = self.weights / self.weights.sum()
+        arr = self.rng.choice(len(self.qIdx), size=len(self.qIdx), replace=True, p=p)
+        self.subcache_indices = np.array_split(arr, self.nCacheSubset)
+        self.current_subset = 0
+
+    def update_subcache(self, embed_fn: Optional[Callable] = None, outputdim: Optional[int] = None):
+        """Hard-negative mining over the current subcache (msls.py:416-567).
+
+        ``embed_fn(images (B, H, W, 3) float32) -> (B, D)`` descriptors —
+        typically a jitted TPU forward with fixed batch size."""
+        self.triplets = []
+        if embed_fn is None:
+            qidxs = self.rng.choice(len(self.qIdx), min(self.cached_queries, len(self.qIdx)), replace=False)
+            for q in qidxs:
+                qidx = self.qIdx[q]
+                pidx = self.rng.choice(self.pIdx[q], size=1)[0]
+                while True:
+                    nidxs = self.rng.choice(len(self.dbImages), size=self.nNeg)
+                    if np.sum(np.isin(nidxs, np.asarray(self.nonNegIdx[q]))) == 0:
+                        break
+                self.triplets.append(([qidx, pidx, *nidxs], [-1, 1] + [0] * len(nidxs)))
+            self.current_subset += 1
+            return
+
+        if self.current_subset >= len(self.subcache_indices):
+            self.current_subset = 0
+        qidxs = np.asarray(self.subcache_indices[self.current_subset])
+
+        pidxs = np.unique([i for idx in self.pIdx[qidxs] for i in idx])
+        nidxs = self.rng.choice(
+            len(self.dbImages), min(self.cached_negatives, len(self.dbImages)), replace=False
+        )
+        nonneg = np.unique([i for idx in self.nonNegIdx[qidxs] for i in idx])
+        nidxs = nidxs[np.isin(nidxs, nonneg, invert=True)]
+
+        qvecs = self._embed_paths(self.qImages[self.qIdx[qidxs]], embed_fn)
+        pvecs = self._embed_paths(self.dbImages[pidxs], embed_fn)
+        nvecs = self._embed_paths(self.dbImages[nidxs], embed_fn)
+
+        pScores = qvecs @ pvecs.T
+        pRanks = np.argsort(-pScores, axis=1)
+        nScores = qvecs @ nvecs.T
+
+        for q in range(len(qidxs)):
+            qi = qidxs[q]
+            cached_pidx = np.where(np.isin(pidxs, self.pIdx[qi]))[0]
+            prank_pos = np.where(np.isin(pRanks[q], cached_pidx))[0]
+            if len(prank_pos) == 0:
+                continue
+            dPos = pScores[q, pRanks[q, prank_pos[0]]]
+            dNeg = nScores[q]
+            loss = dPos - dNeg + self.margin**0.5
+            violating = loss > 0
+            if np.sum(violating) <= self.nNeg:
+                continue
+            hardest = np.argsort(loss)[: self.nNeg]
+            cached_hardest = hardest  # nScores columns are nidxs order already
+            qidx = self.qIdx[qi]
+            pidx = pidxs[pRanks[q, prank_pos[0]]]
+            hardestNeg = nidxs[cached_hardest]
+            self.triplets.append(([qidx, pidx, *hardestNeg], [-1, 1] + [0] * len(hardestNeg)))
+        self.current_subset += 1
+
+    def load_image_array(self, name: str) -> np.ndarray:
+        """Load + transform one image (first frame of a sequence key)."""
+        path = name.split(",")[0]
+        return self.transform(Image.open(path))
+
+    def _embed_paths(self, paths, embed_fn, batch=32):
+        ds = ImagesFromList(paths, self.transform)
+        out = []
+        for s in range(0, len(ds), batch):
+            imgs = np.stack([ds[i][0] for i in range(s, min(s + batch, len(ds)))])
+            n = imgs.shape[0]
+            if n < batch:
+                imgs = np.concatenate([imgs, np.zeros((batch - n, *imgs.shape[1:]), imgs.dtype)])
+            out.append(np.asarray(embed_fn(imgs))[:n])
+        return np.concatenate(out, 0)
+
+    def __getitem__(self, idx):
+        triplet, target = self.triplets[idx]
+        qidx, pidx, nidx = triplet[0], triplet[1], triplet[2:]
+        query = self.transform(Image.open(self.qImages[qidx]))
+        positive = self.transform(Image.open(self.dbImages[pidx]))
+        negatives = np.stack([self.transform(Image.open(self.dbImages[i])) for i in nidx])
+        return query, positive, negatives, [qidx, pidx] + list(nidx)
+
+    @staticmethod
+    def collate_fn(batch):
+        """(q, p, negs) -> stacked arrays (msls.py:367-394)."""
+        batch = [b for b in batch if b is not None]
+        if not batch:
+            return None, None, None, None, None
+        query, positive, negatives, indices = zip(*batch)
+        query = np.stack(query)
+        positive = np.stack(positive)
+        negCounts = np.asarray([n.shape[0] for n in negatives])
+        negatives = np.concatenate(negatives, 0)
+        indices = list(itertools.chain(*indices))
+        return query, positive, negatives, negCounts, indices
+
+
+class SyntheticMSLS(MSLS):
+    """In-memory MSLS stand-in: procedural images on a grid of UTM positions.
+    Same attribute/method surface; used for tests and zero-egress smoke runs."""
+
+    def __init__(self, n_queries=32, n_db=64, nNeg=2, image_size=64,
+                 cached_queries=16, cached_negatives=32, margin=0.1, seed=0,
+                 mode="train"):
+        self.nNeg = nNeg
+        self.margin = margin
+        self.cached_queries = cached_queries
+        self.cached_negatives = cached_negatives
+        self.mode = mode
+        self.bs = 8
+        self.threads = 1
+        self.rng = np.random.default_rng(seed)
+        self.image_size = image_size
+
+        rng = np.random.default_rng(seed + 1)
+        # db positions on a loose grid; queries near a random db point
+        self.utmDb = rng.uniform(0, 1000, (n_db, 2))
+        anchor = rng.integers(0, n_db, n_queries)
+        self.utmQ = self.utmDb[anchor] + rng.uniform(-5, 5, (n_queries, 2))
+
+        d = np.linalg.norm(self.utmQ[:, None] - self.utmDb[None, :], axis=-1)
+        pos = [np.where(d[i] <= 10)[0] for i in range(n_queries)]
+        nonneg = [np.where(d[i] <= 25)[0] for i in range(n_queries)]
+
+        keep = [i for i in range(n_queries) if len(pos[i]) > 0]
+        self.qIdx = np.asarray(keep)
+        self.qImages = np.asarray([f"q{i}" for i in range(n_queries)])
+        self.dbImages = np.asarray([f"db{i}" for i in range(n_db)])
+        self.pIdx = np.asarray([pos[i] for i in keep], dtype=object)
+        self.nonNegIdx = np.asarray([nonneg[i] for i in keep], dtype=object)
+        self.all_pos_indices = [pos[i] for i in keep]
+        self.qEndPosList = [n_queries]
+        self.dbEndPosList = [n_db]
+        self.night, self.sideways = np.asarray([]), np.asarray([])
+        self.weights = np.ones(len(self.qIdx))
+        self.triplets = []
+        self.negCache = np.asarray([np.empty((0,), int)] * len(self.qIdx))
+
+        # image content: a smooth function of UTM position + noise, so nearby
+        # places look alike
+        self._db_protos = rng.standard_normal((8, 8, 3)).astype(np.float32)
+
+        def render(utm, idx_seed):
+            r = np.random.default_rng(idx_seed)
+            phase = utm / 37.0
+            g = np.linspace(0, 2 * np.pi, 8)
+            patt = (
+                np.sin(g[:, None] + phase[0])[:, :, None]
+                + np.cos(g[None, :] + phase[1])[:, :, None]
+            ).astype(np.float32)
+            base = patt + 0.3 * self._db_protos
+            img = np.kron(base, np.ones((image_size // 8, image_size // 8, 1), np.float32))
+            return img + 0.2 * r.standard_normal(img.shape).astype(np.float32)
+
+        self._render = render
+        self.transform = None
+
+    def _load(self, name):
+        if name.startswith("q"):
+            i = int(name[1:])
+            return self._render(self.utmQ[i], 10_000 + i)
+        i = int(name[2:])
+        return self._render(self.utmDb[i], 20_000 + i)
+
+    def load_image_array(self, name: str) -> np.ndarray:
+        return self._load(name)
+
+    def _embed_paths(self, paths, embed_fn, batch=32):
+        out = []
+        for s in range(0, len(paths), batch):
+            imgs = np.stack([self._load(p) for p in paths[s : s + batch]])
+            n = imgs.shape[0]
+            if n < batch:
+                imgs = np.concatenate([imgs, np.zeros((batch - n, *imgs.shape[1:]), imgs.dtype)])
+            out.append(np.asarray(embed_fn(imgs))[:n])
+        return np.concatenate(out, 0)
+
+    def __getitem__(self, idx):
+        triplet, target = self.triplets[idx]
+        qidx, pidx, nidx = triplet[0], triplet[1], triplet[2:]
+        query = self._load(self.qImages[qidx])
+        positive = self._load(self.dbImages[pidx])
+        negatives = np.stack([self._load(self.dbImages[i]) for i in nidx])
+        return query, positive, negatives, [qidx, pidx] + list(nidx)

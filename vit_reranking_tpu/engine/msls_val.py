@@ -1,0 +1,131 @@
+"""MSLS validation: per-city global retrieval + optional DIML rerank +
+Recall@N vs UTM ground truth (reference training_tools/val.py:68-252).
+
+The reference loops queries one at a time through calc_similarity; here the
+rerank runs as a vmapped tile per city.  Global retrieval uses the on-device
+einsum + argsort exactly like the reference's "tensor solution"
+(val.py:154-160); the faiss index it also builds is dead code there.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.similarity import calc_similarity, l2_normalize
+
+
+def _embed_names(eval_set, names, extract_fn, batch=16):
+    """Load images by name via the dataset and embed in fixed-size batches.
+    extract_fn(images) -> (centers (B, D), dense (B, C, R) or None)."""
+    centers, denses = [], []
+    for s in range(0, len(names), batch):
+        chunk = names[s : s + batch]
+        imgs = np.stack([eval_set.load_image_array(n) for n in chunk])
+        n = imgs.shape[0]
+        if n < batch:
+            imgs = np.concatenate(
+                [imgs, np.zeros((batch - n, *imgs.shape[1:]), imgs.dtype)]
+            )
+        c, d = extract_fn(imgs)
+        centers.append(np.asarray(c)[:n])
+        if d is not None:
+            denses.append(np.asarray(d)[:n])
+    centers = np.concatenate(centers, 0)
+    dense = np.concatenate(denses, 0) if denses else None
+    return centers, dense
+
+
+def msls_val(
+    eval_set,
+    extract_fn: Callable,
+    trunc_nums: Sequence[int] = (0, 100),
+    n_values: Sequence[int] = (1, 5, 10, 20, 50, 100),
+    batch: int = 16,
+    rerank_flags: Optional[dict] = None,
+) -> Dict[str, float]:
+    """Returns {'globalR_N': ..., 'dimlR_N': ...} recall dict.
+
+    rerank_flags default to the reference's val settings (val.py:177-187):
+    use_minus=True, use_cls_token=True, temperature=0.1, ot_part=1.0.
+    """
+    flags = dict(
+        use_uniform=False, use_inverse=False, temperature=0.1,
+        use_cls_token=True, ot_temp=0.05, use_minus=True, ot_part=1.0,
+    )
+    flags.update(rerank_flags or {})
+    trunc_nums = list(trunc_nums)
+    K = max(trunc_nums)
+    n_values = list(n_values)
+    nmax = max(n_values)
+
+    qFeat, qDense = _embed_names(eval_set, list(eval_set.qImages), extract_fn, batch)
+    dbFeat, dbDense = _embed_names(eval_set, list(eval_set.dbImages), extract_fn, batch)
+    if qDense is None or dbDense is None:
+        trunc_nums = [0]
+        K = 0
+    else:
+        qDense = np.asarray(l2_normalize(jnp.asarray(qDense), axis=1))
+        dbDense = np.asarray(l2_normalize(jnp.asarray(dbDense), axis=1))
+
+    gt = eval_set.all_pos_indices
+    predictions, final_preds = [], []
+
+    qTot = dbTot = 0
+    for qEnd, dbEnd in zip(eval_set.qEndPosList, eval_set.dbEndPosList):
+        qF = jnp.asarray(qFeat[qTot : qTot + qEnd])
+        dbF = jnp.asarray(dbFeat[dbTot : dbTot + dbEnd])
+        sim = jnp.einsum(
+            "nc,mc->nm", qF, dbF,
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
+        kk = min(max(nmax, K), dbEnd)
+        preds = jnp.argsort(-sim, axis=1)[:, :kk]
+
+        if K > 0:
+            qD = jnp.asarray(qDense[qTot : qTot + qEnd])
+            dbD = jnp.asarray(dbDense[dbTot : dbTot + dbEnd])
+            Keff = min(K, dbEnd)
+            top = preds[:, :Keff]
+
+            def one(i):
+                s, _ = calc_similarity(
+                    qD[i], qF[i], dbD[top[i]], dbF[top[i]], stage=1, **flags
+                )
+                return s
+
+            ot = jax.vmap(one)(jnp.arange(qEnd))
+            adj = ot + jnp.take_along_axis(sim, top, axis=1)
+            order = jnp.argsort(-adj, axis=1)
+            rerank = jnp.take_along_axis(top, order, axis=1)
+            final = jnp.concatenate([rerank, preds[:, Keff:]], axis=1)
+            final_preds.append(np.asarray(final))
+
+        predictions.append(np.asarray(preds))
+        qTot += qEnd
+        dbTot += dbEnd
+
+    def recalls(pred_list):
+        correct = np.zeros(len(n_values))
+        qix = 0
+        for city_preds in pred_list:
+            for row in city_preds:
+                for i, n in enumerate(n_values):
+                    if np.any(np.isin(row[:n], gt[qix])):
+                        correct[i:] += 1
+                        break
+                qix += 1
+        return correct / max(len(eval_set.qIdx), 1)
+
+    out = {}
+    g = recalls(predictions)
+    for i, n in enumerate(n_values):
+        out[f"globalR_{n}"] = float(g[i])
+    if final_preds:
+        f = recalls(final_preds)
+        for i, n in enumerate(n_values):
+            out[f"dimlR_{n}"] = float(f[i])
+    return out
