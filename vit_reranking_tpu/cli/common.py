@@ -113,8 +113,17 @@ def load_pretrained_into(opt: Config, variables):
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     a = opt.arch.lower()
+    s = {}
     if a.startswith("cvt"):
         p, s = convert.convert_cvt(sd, include_head=False)
+    elif a.startswith("resnet50") or a.startswith("irresnet50"):
+        p, s = convert.convert_resnet50(sd)
+    elif a.startswith("vit") or a.startswith("deit"):
+        p = convert.convert_vit(sd)
+    elif "swin" in a:
+        p = convert.convert_swin(sd)
+    elif "netvlad" in a:
+        p = convert.convert_patchnetvlad(sd)
     else:
         raise NotImplementedError(f"converter for {opt.arch} pending")
     out = dict(variables)

@@ -117,6 +117,133 @@ def convert_cvt(
     return params, stats
 
 
+def convert_vit(state_dict: Mapping[str, Any], depth: int = 12) -> Dict:
+    """timm DeiT/ViT checkpoint -> params for models.vit.ViTNetwork.
+
+    Key mapping (reference architectures/vit.py:31-40 consumes the timm
+    layout): patch_embed.proj, cls_token, pos_embed, blocks.N.{norm1,attn.qkv,
+    attn.proj,norm2,mlp.fc1,mlp.fc2}, norm."""
+    sd = strip_prefix(dict(state_dict), "module.")
+    p: Dict = {}
+    _set(p, ("patch_embed_proj", "kernel"), _conv_kernel(sd["patch_embed.proj.weight"]))
+    _set(p, ("patch_embed_proj", "bias"), _np(sd["patch_embed.proj.bias"]))
+    _set(p, ("cls_token",), _np(sd["cls_token"]))
+    _set(p, ("pos_embed",), _np(sd["pos_embed"]))
+    for i in range(depth):
+        bp = f"blocks.{i}"
+        fp = (f"block{i}",)
+        for ln in ("norm1", "norm2"):
+            _set(p, fp + (ln, "scale"), _np(sd[f"{bp}.{ln}.weight"]))
+            _set(p, fp + (ln, "bias"), _np(sd[f"{bp}.{ln}.bias"]))
+        _set(p, fp + ("attn", "qkv", "kernel"), _dense_kernel(sd[f"{bp}.attn.qkv.weight"]))
+        _set(p, fp + ("attn", "qkv", "bias"), _np(sd[f"{bp}.attn.qkv.bias"]))
+        _set(p, fp + ("attn", "proj", "kernel"), _dense_kernel(sd[f"{bp}.attn.proj.weight"]))
+        _set(p, fp + ("attn", "proj", "bias"), _np(sd[f"{bp}.attn.proj.bias"]))
+        for fc in ("fc1", "fc2"):
+            _set(p, fp + ("mlp", fc, "kernel"), _dense_kernel(sd[f"{bp}.mlp.{fc}.weight"]))
+            _set(p, fp + ("mlp", fc, "bias"), _np(sd[f"{bp}.mlp.{fc}.bias"]))
+    _set(p, ("norm", "scale"), _np(sd["norm.weight"]))
+    _set(p, ("norm", "bias"), _np(sd["norm.bias"]))
+    return p
+
+
+def convert_resnet50(state_dict: Mapping[str, Any]) -> Tuple[Dict, Dict]:
+    """torchvision/pretrainedmodels ResNet-50 -> (params, batch_stats) for
+    models.resnet.ResNet50Trunk (scope 'trunk')."""
+    sd = strip_prefix(dict(state_dict), "module.")
+    sd = strip_prefix(sd, "model.")
+    params: Dict = {}
+    stats: Dict = {}
+
+    def bn(src, dst):
+        _set(params, dst + ("scale",), _np(sd[f"{src}.weight"]))
+        _set(params, dst + ("bias",), _np(sd[f"{src}.bias"]))
+        _set(stats, dst + ("mean",), _np(sd[f"{src}.running_mean"]))
+        _set(stats, dst + ("var",), _np(sd[f"{src}.running_var"]))
+
+    _set(params, ("trunk", "conv1", "kernel"), _conv_kernel(sd["conv1.weight"]))
+    bn("bn1", ("trunk", "bn1"))
+    for li, blocks in enumerate([3, 4, 6, 3]):
+        for bi in range(blocks):
+            src = f"layer{li + 1}.{bi}"
+            dst = ("trunk", f"layer{li + 1}_{bi}")
+            for ci in (1, 2, 3):
+                _set(params, dst + (f"conv{ci}", "kernel"), _conv_kernel(sd[f"{src}.conv{ci}.weight"]))
+                bn(f"{src}.bn{ci}", dst + (f"bn{ci}",))
+            if f"{src}.downsample.0.weight" in sd:
+                _set(params, dst + ("downsample_conv", "kernel"), _conv_kernel(sd[f"{src}.downsample.0.weight"]))
+                bn(f"{src}.downsample.1", dst + ("downsample_bn",))
+    return params, stats
+
+
+def convert_swin(state_dict: Mapping[str, Any], depths=(2, 2, 6, 2)) -> Dict:
+    """timm/microsoft swin_tiny checkpoint -> params for models.swin.SwinNetwork."""
+    sd = strip_prefix(dict(state_dict), "module.")
+    p: Dict = {}
+    _set(p, ("patch_embed_proj", "kernel"), _conv_kernel(sd["patch_embed.proj.weight"]))
+    _set(p, ("patch_embed_proj", "bias"), _np(sd["patch_embed.proj.bias"]))
+    _set(p, ("patch_embed_norm", "scale"), _np(sd["patch_embed.norm.weight"]))
+    _set(p, ("patch_embed_norm", "bias"), _np(sd["patch_embed.norm.bias"]))
+    for li, depth in enumerate(depths):
+        for bi in range(depth):
+            src = f"layers.{li}.blocks.{bi}"
+            dst = (f"layer{li}_block{bi}",)
+            for ln in ("norm1", "norm2"):
+                _set(p, dst + (ln, "scale"), _np(sd[f"{src}.{ln}.weight"]))
+                _set(p, dst + (ln, "bias"), _np(sd[f"{src}.{ln}.bias"]))
+            _set(p, dst + ("attn", "relative_position_bias_table"),
+                 _np(sd[f"{src}.attn.relative_position_bias_table"]))
+            _set(p, dst + ("attn", "qkv", "kernel"), _dense_kernel(sd[f"{src}.attn.qkv.weight"]))
+            _set(p, dst + ("attn", "qkv", "bias"), _np(sd[f"{src}.attn.qkv.bias"]))
+            _set(p, dst + ("attn", "proj", "kernel"), _dense_kernel(sd[f"{src}.attn.proj.weight"]))
+            _set(p, dst + ("attn", "proj", "bias"), _np(sd[f"{src}.attn.proj.bias"]))
+            for fc in ("fc1", "fc2"):
+                _set(p, dst + ("mlp", fc, "kernel"), _dense_kernel(sd[f"{src}.mlp.{fc}.weight"]))
+                _set(p, dst + ("mlp", fc, "bias"), _np(sd[f"{src}.mlp.{fc}.bias"]))
+        if li < len(depths) - 1:
+            src = f"layers.{li}.downsample"
+            dst = (f"layer{li}_downsample",)
+            _set(p, dst + ("norm", "scale"), _np(sd[f"{src}.norm.weight"]))
+            _set(p, dst + ("norm", "bias"), _np(sd[f"{src}.norm.bias"]))
+            _set(p, dst + ("reduction", "kernel"), _dense_kernel(sd[f"{src}.reduction.weight"]))
+    _set(p, ("norm", "scale"), _np(sd["norm.weight"]))
+    _set(p, ("norm", "bias"), _np(sd["norm.bias"]))
+    return p
+
+
+def convert_patchnetvlad(state_dict: Mapping[str, Any]) -> Dict:
+    """Patch-NetVLAD checkpoint (e.g. pittsburgh_WPCA4096.pth.tar
+    'state_dict') -> params for models.netvlad.PatchNetVLADNetwork.
+
+    Layout (reference patchnetvlad.py:106-135): encoder.N.{weight,bias} for
+    VGG conv layers, pool.conv/centroids, WPCA.0.{weight,bias} (1x1 conv)."""
+    sd = strip_prefix(dict(state_dict), "module.")
+    p: Dict = {}
+    conv_i = 0
+    # torchvision VGG16 features conv indices (through conv5_3, pools removed)
+    vgg_ids = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    for ti in vgg_ids:
+        k = f"encoder.{ti}.weight"
+        if k not in sd:
+            continue
+        _set(p, ("encoder", f"conv{conv_i}", "kernel"), _conv_kernel(sd[k]))
+        _set(p, ("encoder", f"conv{conv_i}", "bias"), _np(sd[f"encoder.{ti}.bias"]))
+        conv_i += 1
+    if "pool.centroids" in sd:
+        scope = ("pool", "core") if "pool.conv.weight" in sd else ("pool",)
+        # PatchNetVLAD nests NetVLAD under 'core'; plain NetVLAD is flat
+        _set(p, scope + ("centroids",), _np(sd["pool.centroids"]))
+        w = _np(sd["pool.conv.weight"])  # (K, D, 1, 1)
+        _set(p, scope + ("conv", "kernel"), w[:, :, 0, 0].T)
+        if "pool.conv.bias" in sd:
+            _set(p, scope + ("conv", "bias"), _np(sd["pool.conv.bias"]))
+    if "WPCA.0.weight" in sd:
+        w = _np(sd["WPCA.0.weight"])  # (num_pcs, D, 1, 1)
+        _set(p, ("WPCA", "kernel"), w[:, :, 0, 0].T)
+        _set(p, ("WPCA", "bias"), _np(sd["WPCA.0.bias"]))
+    return p
+
+
 def merge_params(base: Dict, override: Dict) -> Dict:
     """Recursively merge converted weights into an init pytree (override wins).
 
