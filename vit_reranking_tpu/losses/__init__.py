@@ -15,6 +15,7 @@ from .contrastive import ContrastiveLoss
 from .histogram import HistogramLoss
 from .lifted import LiftedLoss
 from .margin import MarginLoss
+from .margin_cross import MarginCrossDIMLLoss, MarginCrossEmbedLoss
 from .margin_diml import MarginDIMLLoss
 from .multisimilarity import MultisimilarityLoss
 from .multisimilarity_diml import MultisimilarityDIMLLoss
@@ -44,17 +45,12 @@ LOSSES = {
     "arcface": ArcFaceLoss,
     "quadruplet": QuadrupletLoss,
     "adversarial_separation": AdversarialSeparationLoss,
+    "margin_cross_embed": MarginCrossEmbedLoss,
+    "margin_cross_diml": MarginCrossDIMLLoss,
 }
-
-# registered lazily once the cross-attention rescorer lands (see models/vit.py)
-_PENDING = ("margin_cross_embed", "margin_cross_diml")
 
 
 def select(loss: str, opt, batchminer=None):
-    if loss in _PENDING and loss not in LOSSES:
-        raise NotImplementedError(
-            f"Loss {loss} requires the cross-attention rescorer (pending)."
-        )
     if loss not in LOSSES:
         raise NotImplementedError(f"Loss {loss} not implemented!")
     cls = LOSSES[loss]

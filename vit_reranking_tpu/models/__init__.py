@@ -9,6 +9,7 @@ handled by the optimizer mask, see engine/train).
 from __future__ import annotations
 
 from .cvt import CVT13_SPEC, CvTDIML, CvTNetwork
+from .legacy import BNInceptionNetwork, DenseNetNetwork, GoogLeNetNetwork
 from .netvlad import NetVLAD, PatchNetVLAD, PatchNetVLADNetwork, VGG16Encoder
 from .resnet import IRResNet, ResNet50DIML, ResNet50Network
 from .swin import SwinNetwork
@@ -38,6 +39,18 @@ def select(arch: str, opt):
         return ResNet50Network(embed_dim=embed_dim, normalize=normalize, bn_frozen=frozen)
     if a.startswith("irresnet50"):
         return IRResNet(embed_dim=embed_dim)
+    if a.startswith("densenet"):
+        cfg = (6, 12, 48, 32) if "201" in a else (6, 12, 32, 32)
+        return DenseNetNetwork(
+            embed_dim=embed_dim, normalize=normalize, block_config=cfg, bn_frozen=frozen
+        )
+    if a.startswith("googlenet"):
+        return GoogLeNetNetwork(embed_dim=embed_dim, normalize=normalize, bn_frozen=frozen)
+    if a.startswith("bninception"):
+        return BNInceptionNetwork(
+            embed_dim=embed_dim, normalize=normalize, bn_frozen=frozen,
+            double_pool="double" in a,
+        )
     if a.startswith("vit") or a.startswith("deit"):
         return ViTNetwork(embed_dim=embed_dim, normalize=normalize,
                           qk_block=getattr(opt, "blk_ind", 0))
