@@ -80,7 +80,9 @@ class ViTNetwork(nn.Module):
     qk_block: int = 0  # block whose q/k are captured when ret_attn
 
     @nn.compact
-    def __call__(self, x, train: bool = False, ret_attn: bool = False):
+    def __call__(
+        self, x, train: bool = False, ret_attn: bool = False, ret_layers: bool = False
+    ):
         B = x.shape[0]
         x = nn.Conv(
             self.dim, (self.patch, self.patch),
@@ -96,12 +98,15 @@ class ViTNetwork(nn.Module):
         tokens = tokens + pos
 
         qk_out = None
+        layer_tokens = []
         for i in range(self.depth):
             tokens, qk = ViTBlock(self.dim, self.num_heads, name=f"block{i}")(
                 tokens, train, ret_qk=(ret_attn and i == self.qk_block)
             )
             if qk is not None:
                 qk_out = qk
+            if ret_layers:
+                layer_tokens.append(tokens)
 
         tokens = nn.LayerNorm(epsilon=1e-6, name="norm")(tokens)
         enc_out = tokens[:, 0]
@@ -112,6 +117,11 @@ class ViTNetwork(nn.Module):
         aux: Dict[str, Any] = {}
         if ret_attn and qk_out is not None:
             aux["q"], aux["k"] = qk_out
+        if ret_layers:
+            # (B, L_layers, n_patches, D): per-block patch tokens, cls dropped
+            # (reference get_vit_block_output final_only=False,
+            # eval_cvt_diml.py:148-166)
+            aux["layer_tokens"] = jnp.stack(layer_tokens, axis=1)[:, :, 1:, :]
         return out, (enc_out, no_avg_feat), aux
 
 
