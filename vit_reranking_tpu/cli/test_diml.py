@@ -51,12 +51,13 @@ def run_eval(opt: Config, trunc_nums=(0, 100)):
         model, variables, test_loader,
         grid_size=opt.grid_size,
         use_rollout=opt.use_rollout,
+        use_qk=opt.use_qk,
         training_mode=opt.training,
         pad_batch=opt.bs,
     )
     print(f"embedded {len(feats['labels'])} images in {time.time()-t0:.1f}s")
 
-    method = "rollout" if opt.use_rollout else "featvit"
+    method = "rollout" if opt.use_rollout else ("qk" if opt.use_qk else "featvit")
     flags = dict(
         use_uniform=opt.use_uniform,
         use_inverse=opt.use_inverse,
@@ -67,12 +68,19 @@ def run_eval(opt: Config, trunc_nums=(0, 100)):
         use_ot=opt.use_ot,
     )
     trunc_nums = tuple(t for t in trunc_nums if t == 0 or t < len(feats["labels"]))
+    if method == "rollout":
+        aux_bank, aux_g = jnp.asarray(feats["rollout"]), None
+    elif method == "qk":
+        aux_bank, aux_g = jnp.asarray(feats["q"]), jnp.asarray(feats["k"])
+    else:
+        aux_bank, aux_g = None, None
     t0 = time.time()
     results = rerank_evaluate(
         jnp.asarray(feats["bank"]),
         jnp.asarray(feats["center"]),
         jnp.asarray(feats["labels"]),
-        rollout=jnp.asarray(feats["rollout"]) if opt.use_rollout else None,
+        rollout=aux_bank,
+        rollout_g=aux_g,
         trunc_nums=trunc_nums,
         method=method,
         flags=flags,

@@ -26,8 +26,48 @@ from ..core.logger import RunLogger
 from ..data.msls import MSLS, SyntheticMSLS
 from ..data.transforms import input_transform
 from ..engine.msls_val import msls_val
-from ..losses.msls import msls_triplet_loss, rkd_angle, rkd_distance, smooth_l1, supcon_loss
+from ..losses.msls import (
+    msls_triplet_loss,
+    rkd_angle,
+    rkd_distance,
+    smooth_l1,
+    supcon_loss,
+    xbm_triplet_loss,
+)
 from .common import load_pretrained_into, seed_everything
+
+
+class XBM:
+    """Cross-batch memory ring buffer (reference train_epoch_KD_xbm.py:74-101).
+
+    Embeddings are detached snapshots, so the buffer lives host-side; the
+    per-step positive/negative masks are built from the MSLS metadata and fed
+    into the jitted step where the XBM loss contributes gradients."""
+
+    def __init__(self, size: int, dim: int):
+        self.feats = np.zeros((size, dim), np.float32)
+        self.targets = np.full((size,), -1, np.int64)
+        self.ptr = 0
+        self.full = False
+
+    def enqueue(self, feats: np.ndarray, targets: np.ndarray):
+        n = len(feats)
+        size = len(self.feats)
+        idx = (self.ptr + np.arange(n)) % size
+        self.feats[idx] = feats
+        self.targets[idx] = targets
+        self.ptr = int((self.ptr + n) % size)
+        self.full = self.full or self.ptr < n
+
+    def masks(self, pidx_sets, nonneg_sets):
+        """(pos_mask, neg_mask) (nq, M) from per-query positive / non-negative
+        db-index sets."""
+        valid = self.targets >= 0
+        pos = np.stack([np.isin(self.targets, p) & valid for p in pidx_sets])
+        neg = np.stack(
+            [(~np.isin(self.targets, nn)) & valid for nn in nonneg_sets]
+        )
+        return pos, neg
 
 
 def build_msls(opt: Config, mode: str):
@@ -104,8 +144,11 @@ def main(argv=None):
     nNeg = opt.nNeg
     B = opt.bs if opt.dataset != "synthetic" else 4
 
+    xbm = XBM(opt.xbm_size, opt.embed_dim) if opt.enable_xbm else None
+
     @jax.jit
-    def train_step(params, batch_stats, opt_state, q, p, negs, t_embed):
+    def train_step(params, batch_stats, opt_state, q, p, negs, t_embed,
+                   xbm_feats, xbm_pos, xbm_neg, xbm_on):
         def loss_fn(params):
             images = jnp.concatenate([q, p, negs.reshape(-1, *negs.shape[2:])], 0)
             out, new_stats = model.apply(
@@ -117,21 +160,33 @@ def main(argv=None):
             nq = q.shape[0]
             eq, ep = emb[:nq], emb[nq : 2 * nq]
             en = emb[2 * nq :].reshape(nq, -1, emb.shape[-1])
-            task = msls_triplet_loss(eq, ep, en, margin=opt.margin)
+            if opt.task_loss == "supcon":
+                # queries + their positives as two views of the same "class"
+                feats = jnp.stack([eq, ep], axis=1)
+                task = supcon_loss(feats, jnp.arange(nq), temperature=opt.supcon_temp)
+            else:
+                task = msls_triplet_loss(eq, ep, en, margin=opt.margin)
             loss = opt.tl_weight * task
+            if xbm_feats is not None:
+                xl = xbm_triplet_loss(
+                    emb, xbm_feats, jnp.arange(nq), xbm_pos, xbm_neg,
+                    margin=opt.margin,
+                )
+                loss = loss + opt.xbm_weight * xbm_on * xl
             if t_embed is not None:
                 loss = loss + opt.kd_weight * smooth_l1(emb, t_embed)
                 if opt.distill == "rkd":
                     loss = loss + opt.rkd_distance_weight * rkd_distance(emb, t_embed)
                     loss = loss + opt.rkd_angle_weight * rkd_angle(emb, t_embed)
-            return loss, new_stats
+            return loss, (new_stats, emb)
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, (new_stats, emb)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, new_stats["batch_stats"], opt_state, loss
+        return params, new_stats["batch_stats"], opt_state, loss, emb
 
     best_r5 = -1.0
+    it_count = 0
     for epoch in range(opt.start_epoch, opt.n_epochs):
         train_set.new_epoch()
         epoch_losses = []
@@ -159,12 +214,34 @@ def main(argv=None):
                     t_embed = jax.lax.stop_gradient(
                         teacher.apply(teacher_vars, imgs, train=False)[0]
                     )
-                params, bstats, opt_state, loss = train_step(
+                xbm_feats = xbm_pos = xbm_neg = None
+                xbm_on = jnp.float32(0.0)
+                batch_qidx = [it[3][0] for it in items]
+                if xbm is not None:
+                    qpos = [np.where(train_set.qIdx == qi)[0][0] for qi in batch_qidx]
+                    pos_sets = [np.asarray(train_set.pIdx[qp]) for qp in qpos]
+                    nn_sets = [np.asarray(train_set.nonNegIdx[qp]) for qp in qpos]
+                    pm, nm = xbm.masks(pos_sets, nn_sets)
+                    xbm_feats = jnp.asarray(xbm.feats)
+                    xbm_pos, xbm_neg = jnp.asarray(pm), jnp.asarray(nm)
+                    xbm_on = jnp.float32(it_count >= opt.xbm_start_iteration)
+                params, bstats, opt_state, loss, emb = train_step(
                     variables["params"], variables.get("batch_stats", {}),
                     opt_state, q, p, negs, t_embed,
+                    xbm_feats, xbm_pos, xbm_neg, xbm_on,
                 )
                 variables = {"params": params, "batch_stats": bstats}
                 epoch_losses.append(float(loss))
+                it_count += 1
+                if xbm is not None:
+                    # enqueue the db-side embeddings (positives + negatives)
+                    emb_np = np.asarray(emb)
+                    nq = len(items)
+                    db_idx = np.concatenate(
+                        [[it[3][1] for it in items]]
+                        + [[i for it in items for i in it[3][2:]]]
+                    ).astype(np.int64)
+                    xbm.enqueue(emb_np[nq:], db_idx)
         print(
             f"epoch {epoch}: loss={np.mean(epoch_losses):.4f} "
             f"({len(epoch_losses)} steps, {time.time()-t0:.1f}s)"

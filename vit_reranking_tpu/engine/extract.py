@@ -24,13 +24,14 @@ from ..ops.similarity import l2_normalize
 
 
 def make_embed_fn(
-    model, grid_size: int = 7, use_rollout: bool = False, training_mode: bool = False
+    model, grid_size: int = 7, use_rollout: bool = False, training_mode: bool = False,
+    use_qk: bool = False,
 ):
     """Returns a jitted fn(variables, images) -> dict of per-batch features."""
 
     def embed(variables, images):
         out, (enc_out, no_avg_feat), aux = model.apply(
-            variables, images, train=False, ret_attn=use_rollout
+            variables, images, train=False, ret_attn=use_rollout or use_qk
         )
         res: Dict[str, jnp.ndarray] = {}
         if training_mode:
@@ -52,6 +53,10 @@ def make_embed_fn(
             res["center"] = out
         if use_rollout:
             res["rollout"] = rollout_saliency(aux["rollout_maps"])
+        if use_qk:
+            # q/k projections of the probed block (eval_attn_diml.py:18-38)
+            res["q"] = aux["q"]
+            res["k"] = aux["k"]
         return res
 
     return jax.jit(embed)
@@ -64,14 +69,16 @@ def extract_features(
     grid_size: int = 7,
     use_rollout: bool = False,
     training_mode: bool = False,
+    use_qk: bool = False,
     pad_batch: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Run the embed fn over a loader; returns numpy arrays
-    {'bank' (N,C,R), 'center' (N,C), 'labels' (N,), 'rollout' (N,R)?}.
+    {'bank' (N,C,R), 'center' (N,C), 'labels' (N,), 'rollout' (N,R)?,
+    'q'/'k' (N,heads,T+1,hd)?}.
 
     Batches are padded to a fixed size to avoid shape-churn recompiles."""
-    embed = make_embed_fn(model, grid_size, use_rollout, training_mode)
-    banks, centers, rolls, labels = [], [], [], []
+    embed = make_embed_fn(model, grid_size, use_rollout, training_mode, use_qk)
+    banks, centers, rolls, qs, ks, labels = [], [], [], [], [], []
     for lab, images, idx in loader:
         n = images.shape[0]
         B = pad_batch or n
@@ -84,6 +91,9 @@ def extract_features(
         centers.append(np.asarray(res["center"][:n]))
         if use_rollout:
             rolls.append(np.asarray(res["rollout"][:n]))
+        if use_qk:
+            qs.append(np.asarray(res["q"][:n]))
+            ks.append(np.asarray(res["k"][:n]))
         labels.append(np.asarray(lab))
     bank = np.concatenate(banks, 0)
     center = np.concatenate(centers, 0)
@@ -94,4 +104,7 @@ def extract_features(
     }
     if use_rollout:
         out["rollout"] = np.concatenate(rolls, 0)
+    if use_qk:
+        out["q"] = np.concatenate(qs, 0)
+        out["k"] = np.concatenate(ks, 0)
     return out

@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.similarity import calc_similarity, calc_similarity_rollout
+from ..ops.similarity import calc_similarity, calc_similarity_qk, calc_similarity_rollout
 from ..ops.topk import pairwise_topk
 from .metrics import metrics_from_ranks
 
@@ -32,8 +32,22 @@ from .metrics import metrics_from_ranks
 def _rerank_tile(
     anchor, anchor_center, anchor_rollout, fb, fb_center, fb_rollout, method, flags
 ):
-    """OT-rerank one query against its top-K candidates. vmapped over queries."""
-    if method == "rollout":
+    """OT-rerank one query against its top-K candidates. vmapped over queries.
+
+    For method 'qk' the *_rollout slots carry the q/k attention projections
+    instead: anchor_rollout = q (heads, T+1, D), fb_rollout = k (K, heads,
+    T+1, D) (reference calc_similarity_vit/cvt, diml.py:206-320)."""
+    if method == "qk":
+        sim, _ = calc_similarity_qk(
+            anchor_center, anchor, anchor_rollout, fb_center, fb, fb_rollout,
+            stage=1,
+            use_uniform=flags.get("use_uniform", False),
+            use_exp=flags.get("use_inverse", False),
+            temperature=flags.get("temperature", 1.0),
+            scale=flags.get("qk_scale", 1.0 / 8.0),
+            use_ot=flags.get("use_ot", True),
+        )
+    elif method == "rollout":
         sim, _ = calc_similarity_rollout(
             anchor_center, anchor, anchor_rollout, fb_center, fb, fb_rollout,
             stage=1,
@@ -60,6 +74,7 @@ def rerank_evaluate(
     feature_bank_center: jnp.ndarray,
     labels: jnp.ndarray,
     rollout: Optional[jnp.ndarray] = None,
+    rollout_g: Optional[jnp.ndarray] = None,
     trunc_nums: Sequence[int] = (0, 100),
     method: str = "featvit",
     flags: Optional[dict] = None,
@@ -136,13 +151,16 @@ def rerank_evaluate(
                 )
         else:
             rerank_one = functools.partial(_rerank_tile, method=method, flags=flags)
+            # anchor-side aux bank (rollout saliency, or ViT q projections);
+            # gallery-side bank defaults to the same (k projections for 'qk')
             dummy_roll = rollout if rollout is not None else jnp.zeros((N, 1))
+            gal_roll = rollout_g if rollout_g is not None else dummy_roll
 
             @jax.jit
             def tile_fn(anchor, anchor_center, anchor_roll, inds):
                 return jax.vmap(rerank_one)(
                     anchor, anchor_center, anchor_roll,
-                    feature_bank[inds], feature_bank_center[inds], dummy_roll[inds],
+                    feature_bank[inds], feature_bank_center[inds], gal_roll[inds],
                 )
 
             sims = []
