@@ -116,11 +116,17 @@ def rerank_evaluate(
         top_vals = vals[:, :K]
 
         ot_part = float(flags.get("ot_part", 1.0))
-        # fused Pallas path covers full OT (no dustbin) with the standard
-        # marginal variants; partial OT and exotic paths use the XLA kernels
+        # The fused Pallas path supports full AND partial (dustbin) OT, but
+        # its per-pair early-exit freeze only provably matches the reference's
+        # per-query batch-mean exit when the plan converges within a few
+        # iterations — true for full OT (verified: 100% rank agreement), not
+        # for the slower-converging partial OT.  Auto-dispatch therefore fuses
+        # full OT only; pass use_fused=True to opt partial OT into the kernel.
         if use_fused is None:
-            use_fused = ot_part > 0.999 and flags.get("use_ot", True) and method in (
-                "rollout", "featvit",
+            use_fused = (
+                ot_part > 0.999
+                and flags.get("use_ot", True)
+                and method in ("rollout", "featvit")
             )
         interpret = jax.default_backend() != "tpu"
 
@@ -135,6 +141,7 @@ def rerank_evaluate(
                     feature_bank, feature_bank_center, rollout, top_inds,
                     query_tile=query_block,
                     use_uniform=flags.get("use_uniform", False),
+                    ot_part=ot_part,
                     interpret=interpret,
                 )
             else:
@@ -147,6 +154,7 @@ def rerank_evaluate(
                     use_soft=flags.get("use_soft", False),
                     use_cls_token=flags.get("use_cls_token", False),
                     temperature=flags.get("temperature", 1.0),
+                    ot_part=ot_part,
                     interpret=interpret,
                 )
         else:

@@ -32,11 +32,30 @@ from jax.experimental.pallas import tpu as pltpu
 PAIR_LANES = 256  # pairs per grid step (P); multiple of 128
 
 
-def _sinkhorn_score_kernel(S_ref, u_ref, v_ref, out_ref, *, iters, thresh, ot_temp):
+def _sinkhorn_score_kernel(
+    S_ref, u_ref, v_ref, out_ref, *, iters, thresh, ot_temp, ot_part=1.0
+):
     S = S_ref[0]  # (R_s, R_m, P)
     u = u_ref[0]  # (R_s, P)
     v = v_ref[0]  # (R_m, P)
     Km = jnp.exp(-(1.0 - S) / ot_temp)
+
+    if ot_part <= 0.999:
+        # partial OT via one dustbin row+col (reference diml.py:56-75): kernel
+        # entries = 1 - ot_part, corner = 0, marginals append 1 - ot_part.
+        # S pads with zeros so the final sum(T*S) automatically ignores the
+        # dustbin (the caller crops T[:R,:R] in the reference).
+        bin_mass = 1.0 - ot_part
+        Rs1, Rm1 = S.shape[0] + 1, S.shape[1] + 1
+        S = jnp.pad(S, ((0, 1), (0, 1), (0, 0)))
+        Km = jnp.pad(Km, ((0, 1), (0, 1), (0, 0)), constant_values=bin_mass)
+        # zero the dustbin corner without a scatter (unsupported in Mosaic)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (Rs1, Rm1, S.shape[-1]), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Rs1, Rm1, S.shape[-1]), 1)
+        corner = (rows == Rs1 - 1) & (cols == Rm1 - 1)
+        Km = jnp.where(corner, 0.0, Km)
+        u = jnp.pad(u, ((0, 1), (0, 0)), constant_values=bin_mass)
+        v = jnp.pad(v, ((0, 1), (0, 0)), constant_values=bin_mass)
 
     r0 = jnp.ones_like(u)
     c0 = jnp.ones_like(v)
@@ -62,7 +81,7 @@ def _sinkhorn_score_kernel(S_ref, u_ref, v_ref, out_ref, *, iters, thresh, ot_te
     out_ref[0] = jnp.sum(r * t1, axis=0)[None, :]  # (1, P)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "thresh", "ot_temp", "interpret"))
+@functools.partial(jax.jit, static_argnames=("iters", "thresh", "ot_temp", "ot_part", "interpret"))
 def sinkhorn_scores_packed(
     S_packed: jnp.ndarray,
     u_packed: jnp.ndarray,
@@ -70,6 +89,7 @@ def sinkhorn_scores_packed(
     iters: int = 100,
     thresh: float = 1e-1,
     ot_temp: float = 0.05,
+    ot_part: float = 1.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """sum(T * S) per pair from packed inputs.
@@ -81,7 +101,8 @@ def sinkhorn_scores_packed(
     """
     nsteps, Rs, Rm, P = S_packed.shape
     kernel = functools.partial(
-        _sinkhorn_score_kernel, iters=iters, thresh=thresh, ot_temp=ot_temp
+        _sinkhorn_score_kernel, iters=iters, thresh=thresh, ot_temp=ot_temp,
+        ot_part=ot_part,
     )
     out = pl.pallas_call(
         kernel,
@@ -136,10 +157,11 @@ def _pack_pairs(x: jnp.ndarray, P: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "thresh", "ot_temp", "interpret", "P"),
+    static_argnames=("iters", "thresh", "ot_temp", "ot_part", "interpret", "P"),
 )
 def fused_rerank_tile(
-    anchors, fb_g, u, v, iters=100, thresh=1e-1, ot_temp=0.05, interpret=False, P=PAIR_LANES
+    anchors, fb_g, u, v, iters=100, thresh=1e-1, ot_temp=0.05, ot_part=1.0,
+    interpret=False, P=PAIR_LANES,
 ):
     """One query tile: anchors (T, C, R), fb_g (T, K, C, R), u/v (T, K, R).
     Returns (T, K) scores.  T*K must be a multiple of P."""
@@ -152,7 +174,8 @@ def fused_rerank_tile(
     up = _pack_pairs(u.reshape(T * K, R), P)
     vp = _pack_pairs(v.reshape(T * K, R), P)
     scores = sinkhorn_scores_packed(
-        Sp, up, vp, iters=iters, thresh=thresh, ot_temp=ot_temp, interpret=interpret
+        Sp, up, vp, iters=iters, thresh=thresh, ot_temp=ot_temp, ot_part=ot_part,
+        interpret=interpret,
     )
     return jnp.moveaxis(scores, -1, 1).reshape(T, K)
 
@@ -167,6 +190,7 @@ def fused_rollout_rerank_scores(
     thresh: float = 1e-1,
     query_tile: int = 256,
     use_uniform: bool = False,
+    ot_part: float = 1.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flagship rollout rerank over all queries, tiled to bound the gather.
@@ -187,7 +211,7 @@ def fused_rollout_rerank_scores(
         idx = jnp.arange(s, s + query_tile) % N  # pad-wrap to fixed tile size
         tile = _rollout_tile(
             feature_bank, rollout, top_inds, idx,
-            iters=iters, thresh=thresh, ot_temp=ot_temp,
+            iters=iters, thresh=thresh, ot_temp=ot_temp, ot_part=ot_part,
             use_uniform=use_uniform, interpret=interpret, P=P,
         )
         outs.append(tile[: min(query_tile, N - s)])
@@ -208,6 +232,7 @@ def fused_featvit_rerank_scores(
     use_soft: bool = False,
     use_cls_token: bool = False,
     temperature: float = 1.0,
+    ot_part: float = 1.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused rerank with cross-attention marginals (the calc_similarity
@@ -224,7 +249,7 @@ def fused_featvit_rerank_scores(
         idx = jnp.arange(s, s + query_tile) % N
         tile = _featvit_tile(
             feature_bank, centers, top_inds, idx,
-            iters=iters, thresh=thresh, ot_temp=ot_temp,
+            iters=iters, thresh=thresh, ot_temp=ot_temp, ot_part=ot_part,
             use_uniform=use_uniform, use_inverse=use_inverse,
             use_minus=use_minus, use_soft=use_soft,
             use_cls_token=use_cls_token, temperature=temperature,
@@ -237,14 +262,14 @@ def fused_featvit_rerank_scores(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "iters", "thresh", "ot_temp", "use_uniform", "use_inverse", "use_minus",
-        "use_soft", "use_cls_token", "temperature", "interpret", "P",
+        "iters", "thresh", "ot_temp", "ot_part", "use_uniform", "use_inverse",
+        "use_minus", "use_soft", "use_cls_token", "temperature", "interpret", "P",
     ),
 )
 def _featvit_tile(
     feature_bank, centers, top_inds, idx,
-    iters, thresh, ot_temp, use_uniform, use_inverse, use_minus, use_soft,
-    use_cls_token, temperature, interpret, P,
+    iters, thresh, ot_temp, ot_part, use_uniform, use_inverse, use_minus,
+    use_soft, use_cls_token, temperature, interpret, P,
 ):
     from .similarity import cross_attention_marginals, l2_normalize
 
@@ -270,17 +295,18 @@ def _featvit_tile(
     u, v = jax.vmap(marg)(anchors, centers[idx], fb_g, c_g)
     return fused_rerank_tile(
         anchors, fb_g, u, v,
-        iters=iters, thresh=thresh, ot_temp=ot_temp, interpret=interpret, P=P,
+        iters=iters, thresh=thresh, ot_temp=ot_temp, ot_part=ot_part,
+        interpret=interpret, P=P,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "thresh", "ot_temp", "use_uniform", "interpret", "P"),
+    static_argnames=("iters", "thresh", "ot_temp", "ot_part", "use_uniform", "interpret", "P"),
 )
 def _rollout_tile(
     feature_bank, rollout, top_inds, idx,
-    iters, thresh, ot_temp, use_uniform, interpret, P,
+    iters, thresh, ot_temp, ot_part, use_uniform, interpret, P,
 ):
     K = top_inds.shape[1]
     R = feature_bank.shape[2]
