@@ -46,15 +46,31 @@ def run_eval(opt: Config, trunc_nums=(0, 100)):
             "batch_stats": restored.get("batch_stats", {}),
         }
 
+    # feature-bank caching (reference eval_diml.py:69-77 caches feat.pt)
+    cache_file = None
+    if opt.cache_path:
+        os.makedirs(opt.cache_path, exist_ok=True)
+        ck = os.path.basename(opt.resume_path or opt.pretrained_ckpt or "init")
+        tag = f"{opt.dataset}_{opt.arch}_g{opt.grid_size}_{ck}" + (
+            "_rollout" if opt.use_rollout else ""
+        ) + ("_qk" if opt.use_qk else "")
+        cache_file = os.path.join(opt.cache_path, f"feat_{tag}.npz")
+
     t0 = time.time()
-    feats = extract_features(
-        model, variables, test_loader,
-        grid_size=opt.grid_size,
-        use_rollout=opt.use_rollout,
-        use_qk=opt.use_qk,
-        training_mode=opt.training,
-        pad_batch=opt.bs,
-    )
+    if cache_file and os.path.exists(cache_file):
+        feats = dict(np.load(cache_file))
+        print(f"loaded cached features from {cache_file}")
+    else:
+        feats = extract_features(
+            model, variables, test_loader,
+            grid_size=opt.grid_size,
+            use_rollout=opt.use_rollout,
+            use_qk=opt.use_qk,
+            training_mode=opt.training,
+            pad_batch=opt.bs,
+        )
+        if cache_file:
+            np.savez(cache_file, **feats)
     print(f"embedded {len(feats['labels'])} images in {time.time()-t0:.1f}s")
 
     method = "rollout" if opt.use_rollout else ("qk" if opt.use_qk else "featvit")

@@ -92,6 +92,17 @@ def main(argv=None):
             f"({time.time()-t0:.1f}s, {steps_per_epoch} steps)"
         )
 
+        if opt.save_every_epoch and epoch % opt.evalevery != 0:
+            # preemption-safe periodic checkpoint (SURVEY.md section 5): keep
+            # `latest` fresh even between eval epochs so a preempted TPU job
+            # resumes with --resume_path from at most one epoch back
+            ckpt = {
+                "params": state.params, "batch_stats": state.batch_stats,
+                "loss_params": state.loss_params, "opt_state": state.opt_state,
+                "step": state.step, "epoch": epoch,
+            }
+            save_checkpoint(f"{logger.run_dir}/latest", ckpt, {})
+
         if epoch % opt.evalevery == 0 or epoch == opt.n_epochs - 1:
             variables = {"params": state.params, "batch_stats": state.batch_stats}
             metrics = evaluate_plain(model, variables, loaders["testing"], pad_batch=opt.bs)

@@ -126,7 +126,9 @@ class Config:
     append_pca_layer: bool = False
     vladv2: bool = False
     num_pcs: int = 4096
-    cache_path: str = "/tmp/vrt_cache"
+    # reference default is tempfile.mkdtemp() — a fresh dir per run, i.e. no
+    # reuse; empty string here means caching off
+    cache_path: str = ""
     save_every_epoch: bool = False
 
     # ---- XBM (parameters.py:138-141)

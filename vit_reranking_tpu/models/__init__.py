@@ -8,7 +8,7 @@ handled by the optimizer mask, see engine/train).
 
 from __future__ import annotations
 
-from .cvt import CVT13_SPEC, CvTDIML, CvTNetwork
+from .cvt import CVT13_SPEC, CvTDIML, CvTFPNetwork, CvTNetwork
 from .legacy import BNInceptionNetwork, DenseNetNetwork, GoogLeNetNetwork
 from .netvlad import NetVLAD, PatchNetVLAD, PatchNetVLADNetwork, VGG16Encoder
 from .resnet import IRResNet, ResNet50DIML, ResNet50Network
@@ -74,6 +74,8 @@ def select(arch: str, opt):
                 grid_size=getattr(opt, "grid_size", 7),
                 normalize=normalize,
             )
+        if "fp" in a:  # fpn pooling variant (reference cvt.FPNetwork)
+            return CvTFPNetwork(embed_dim=embed_dim, normalize=normalize)
         return CvTNetwork(embed_dim=embed_dim, normalize=normalize)
     raise NotImplementedError(f"architecture {arch} not available")
 

@@ -323,6 +323,39 @@ class CvTNetwork(nn.Module):
         return x, (enc_out, no_avg_feat), aux
 
 
+class CvTFPNetwork(nn.Module):
+    """Multi-stage FPN pooling variant (reference cvt.FPNetwork,
+    cvt.py:752-816): every stage's token map is pooled to 7x7, channel-
+    concatenated (64+192+384=640), globally averaged, and projected."""
+
+    embed_dim: int = 128
+    normalize: bool = True
+    spec: CvTSpec = CVT13_SPEC
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, ret_attn: bool = False):
+        stage_maps = []
+        cls_tokens = None
+        for i in range(self.spec.num_stages):
+            x, cls_tokens, _ = CvTStage(self.spec, i, name=f"stage{i}")(x, train, False)
+            stage_maps.append(x)  # (B, H_i, W_i, C_i)
+
+        pooled = []
+        for m in stage_maps:
+            mm = m.transpose(0, 3, 1, 2)  # (B, C, H, W)
+            if mm.shape[-1] != 7:
+                mm = adaptive_avg_pool2d(mm, 7)
+            pooled.append(mm)
+        ys = jnp.concatenate(pooled, axis=1)  # (B, 640, 7, 7)
+        gap = jnp.mean(ys, axis=(2, 3))  # (B, 640)
+        out = nn.Dense(self.embed_dim, kernel_init=trunc_normal_init(), name="head")(gap)
+        if self.normalize:
+            out = l2norm(out)
+        B = ys.shape[0]
+        tokens = ys.reshape(B, ys.shape[1], -1).transpose(0, 2, 1)  # (B, 49, 640)
+        return out, (gap, tokens), {}
+
+
 class CvTDIML(nn.Module):
     """Structural (per-patch embedding) variant (reference cvt.DIML, cvt.py:820-900).
 
