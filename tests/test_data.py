@@ -111,3 +111,83 @@ def test_transforms_roundtrip():
     assert np.abs(back.astype(int) - arr.astype(int)).max() <= 1
     ms = input_transform((48, 64))(img)
     assert ms.shape == (48, 64, 3)
+
+
+def test_research_samplers():
+    import numpy as np
+
+    splits = data.select("synthetic", opt(synthetic_per_class=16))
+    tr = splits["training"]
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((len(tr), 16)).astype(np.float32)
+    for name in ("d2_coreset", "fid_batchmatch", "disthist_batchmatch"):
+        s = sampler_select(name, opt(bs=8, data_batchmatch_bigbs=32,
+                                     data_batchmatch_ncomps=3), tr.image_dict, tr.image_list)
+        s.create_storage(emb)
+        s.precompute_indices()
+        batches = list(s)
+        assert len(batches) == len(s), name
+        assert all(len(b) == 8 for b in batches), name
+        for b in batches[:2]:
+            assert all(0 <= i < len(tr) for i in b), name
+
+
+def test_cub_style_directory_loader(tmp_path):
+    """Exercise the real-file path: per-class dirs, class-disjoint halves."""
+    import numpy as np
+    from PIL import Image as PILImage
+
+    root = tmp_path / "cub200"
+    img_root = root / "images"
+    rng = np.random.default_rng(0)
+    for ci in range(4):
+        d = img_root / f"{ci:03d}.class{ci}"
+        d.mkdir(parents=True)
+        for j in range(3):
+            arr = rng.integers(0, 255, (40, 50, 3), dtype=np.uint8)
+            PILImage.fromarray(arr).save(d / f"img{j}.jpg")
+
+    o = opt(dataset="cub200", source_path=str(tmp_path), bs=2)
+    splits = data.select("cub200", o, str(root))
+    tr, te = splits["training"], splits["testing"]
+    # class-disjoint halves: 2 train classes, 2 test classes, remapped 0-based
+    assert sorted(tr.image_dict) == [0, 1] and sorted(te.image_dict) == [0, 1]
+    assert len(tr) == 6 and len(te) == 6
+    label, img, idx = tr[0]
+    assert img.shape == (224, 224, 3) and img.dtype == np.float32
+    # eval split uses deterministic center-crop
+    ev = splits["evaluation"]
+    _, e1, _ = ev[0]
+    _, e2, _ = ev[0]
+    np.testing.assert_array_equal(e1, e2)
+
+
+def test_sop_txt_loader(tmp_path):
+    import numpy as np
+    from PIL import Image as PILImage
+
+    root = tmp_path / "online_products"
+    (root / "imgs").mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    rows_train, rows_test = [], []
+    for i in range(6):
+        p = f"imgs/im{i}.jpg"
+        PILImage.fromarray(
+            rng.integers(0, 255, (30, 30, 3), dtype=np.uint8)
+        ).save(root / p)
+        # SOP txt: image_id class_id super_id path (1-based class ids)
+        if i < 3:
+            rows_train.append(f"{i} {i // 2 + 1} 1 {p}")
+        else:
+            rows_test.append(f"{i} {i // 2 + 10} 1 {p}")
+    (root / "Ebay_train.txt").write_text(
+        "image_id class_id super_class_id path\n" + "\n".join(rows_train) + "\n"
+    )
+    (root / "Ebay_test.txt").write_text(
+        "image_id class_id super_class_id path\n" + "\n".join(rows_test) + "\n"
+    )
+    o = opt(dataset="online_products", source_path=str(tmp_path))
+    splits = data.select("online_products", o, str(root))
+    assert len(splits["training"]) == 3 and len(splits["testing"]) == 3
+    # class ids remapped 0-based contiguous
+    assert sorted(splits["testing"].image_dict) == [0, 1]

@@ -192,3 +192,172 @@ def select(name: str, opt, image_dict, image_list, **kw):
     if key not in SAMPLERS:
         raise NotImplementedError(f"datasampler {name} not available!")
     return SAMPLERS[key](opt, image_dict, image_list, **kw)
+
+
+class D2CoresetSampler(GreedyCoresetSampler):
+    """D2-weighted coreset batches (reference datasampler/d2_coreset_sampler.py):
+    start from a density-sampled anchor, then grow the batch with probability
+    proportional to gaussian density x accumulated distance^lambda."""
+
+    REQUIRES_STORAGE = True
+
+    def __init__(self, opt, image_dict, image_list, seed: Optional[int] = None, **kw):
+        super().__init__(opt, image_dict, image_list, seed=seed, **kw)
+        self.lam = getattr(opt, "data_d2_coreset_lambda", 1.0)
+        self.name = "d2_coreset_sampler"
+
+    def _d2_coreset(self, bigbatch: np.ndarray, batch_size: int) -> List[int]:
+        from scipy.stats import multivariate_normal
+
+        emp_mean = np.mean(bigbatch, axis=0)
+        emp_cov = np.cov(bigbatch.T) + 1e-6 * np.eye(bigbatch.shape[1])
+        prod = bigbatch @ bigbatch.T
+        sq = prod.diagonal().reshape(-1, 1)
+        dist = np.clip(-2 * prod + sq + sq.T, 0, None)
+
+        start_anchor = self.rng.multivariate_normal(emp_mean, emp_cov)
+        start = int(np.argmin(np.linalg.norm(bigbatch - start_anchor, axis=1)))
+        idxs = list(range(len(bigbatch)))
+        del idxs[start]
+        picked = [start]
+        dist_w = dist[:, start].copy()
+        normal_w = multivariate_normal.pdf(
+            bigbatch, emp_mean, emp_cov, allow_singular=True
+        )
+        for _ in range(1, batch_size):
+            nw = normal_w[idxs] / max(normal_w[idxs].sum(), 1e-30)
+            p = nw * dist_w[idxs] ** self.lam
+            p = p / max(p.sum(), 1e-30)
+            j = int(self.rng.choice(len(idxs), p=p))
+            sample = idxs.pop(j)
+            picked.append(sample)
+            dist_w = dist_w + dist[:, sample]
+        return picked
+
+    def precompute_indices(self):
+        assert self.storage is not None
+        self.epoch_indices = []
+        per_batch = self.batch_size // self.samples_per_class
+        bigbs = min(self.bigbs, len(self.storage))
+        for _ in range(self.sampler_length):
+            big_idx = self.rng.choice(len(self.storage), bigbs, replace=False)
+            picks = self._d2_coreset(self.storage[big_idx], per_batch)
+            batch = [int(big_idx[p]) for p in picks]
+            for idx in list(batch):
+                members = self.image_dict[self.image_list[idx][-1]]
+                for _ in range(self.samples_per_class - 1):
+                    batch.append(members[self.rng.integers(len(members))][-1])
+            self.epoch_indices.append(batch)
+
+
+class _SPCBatchMatchSampler(GreedyCoresetSampler):
+    """Shared SPC big-batch machinery for the batch-match samplers
+    (reference fid/disthist_batchmatch_sampler.py spc_batchfinder)."""
+
+    def __init__(self, opt, image_dict, image_list, seed: Optional[int] = None, **kw):
+        super().__init__(opt, image_dict, image_list, seed=seed, **kw)
+        self.num_batch_comps = getattr(opt, "data_batchmatch_ncomps", 10)
+
+    def _spc_bigbatch(self):
+        keys = list(self.image_dict.keys())
+        subset, classes = [], []
+        for _ in range(self.bigbs // self.samples_per_class):
+            cls = keys[self.rng.integers(len(keys))]
+            members = self.image_dict[cls]
+            for _ in range(self.samples_per_class):
+                subset.append(members[self.rng.integers(len(members))][-1])
+                classes.append(cls)
+        return np.asarray(subset), np.asarray(classes)
+
+    def _candidate_subsets(self, classes):
+        bigb_dict: Dict = {}
+        for i, c in enumerate(classes):
+            bigb_dict.setdefault(c, []).append(i)
+        keys = list(bigb_dict.keys())
+        cands = []
+        for _ in range(self.num_batch_comps):
+            rows = []
+            for _ in range(self.batch_size // self.samples_per_class):
+                cls = keys[self.rng.integers(len(keys))]
+                pool = bigb_dict[cls]
+                take = self.rng.choice(
+                    pool, self.samples_per_class, replace=len(pool) < self.samples_per_class
+                )
+                rows.extend(int(t) for t in take)
+            cands.append(rows)
+        return cands
+
+    def _cost(self, bigbatch, subset):
+        raise NotImplementedError
+
+    def precompute_indices(self):
+        assert self.storage is not None
+        self.epoch_indices = []
+        for _ in range(self.sampler_length):
+            data_idx, classes = self._spc_bigbatch()
+            bigbatch = self.storage[data_idx]
+            cands = self._candidate_subsets(classes)
+            costs = [self._cost(bigbatch, bigbatch[c]) for c in cands]
+            best = cands[int(np.argmin(costs))]
+            self.epoch_indices.append([int(data_idx[i]) for i in best])
+
+
+class FIDBatchmatchSampler(_SPCBatchMatchSampler):
+    """Pick the candidate batch with the lowest Frechet distance to the big
+    batch (reference datasampler/fid_batchmatch_sampler.py:105-143)."""
+
+    REQUIRES_STORAGE = True
+    name = "fid_batchmatch_sampler"
+
+    def _cost(self, bigbatch, subset):
+        from scipy import linalg
+
+        mu_b = bigbatch.mean(0)
+        mu_s = subset.mean(0)
+        cov_b = np.cov(bigbatch.T)
+        cov_s = np.cov(subset.T)
+        eye = np.eye(cov_b.shape[0]) * 1e-8
+        cov_sqrt = linalg.sqrtm((cov_b + eye) @ (cov_s + eye), disp=False)[0].real
+        diff = mu_b - mu_s
+        return float(diff @ diff + np.trace(cov_b) + np.trace(cov_s) - 2 * np.trace(cov_sqrt))
+
+
+class DistHistBatchmatchSampler(_SPCBatchMatchSampler):
+    """Match the pairwise-distance histogram + moment statistics of the big
+    batch (reference datasampler/disthist_batchmatch_sampler.py:99-160)."""
+
+    REQUIRES_STORAGE = True
+    name = "disthist_batchmatch_sampler"
+
+    @staticmethod
+    def _distvals(arr):
+        prod = arr @ arr.T
+        sq = prod.diagonal().reshape(-1, 1)
+        d = np.sqrt(np.clip(-2 * prod + sq + sq.T, 0, None))
+        return d[np.triu_indices(len(arr), 1)]
+
+    def _cost(self, bigbatch, subset):
+        from scipy.stats import wasserstein_distance
+
+        bv = self._distvals(bigbatch)
+        rng_ = (bv.min(), bv.max())
+        bh, _ = np.histogram(bv, bins=50, range=rng_)
+        bh = bh / max(bh.sum(), 1)
+        sv = self._distvals(subset)
+        sh, _ = np.histogram(sv, bins=50, range=rng_)
+        sh = sh / max(sh.sum(), 1)
+        wd = wasserstein_distance(bh, sh) + wasserstein_distance(sh, bh)
+        return float(
+            np.linalg.norm(bigbatch.mean(0) - subset.mean(0))
+            + np.linalg.norm(bigbatch.std(0) - subset.std(0))
+            + 75 * wd
+        )
+
+
+SAMPLERS.update(
+    {
+        "d2_coreset": D2CoresetSampler,
+        "fid_batchmatch": FIDBatchmatchSampler,
+        "disthist_batchmatch": DistHistBatchmatchSampler,
+    }
+)
