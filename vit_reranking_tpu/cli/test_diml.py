@@ -130,8 +130,54 @@ def run_eval(opt: Config, trunc_nums=(0, 100)):
     return results
 
 
+def sweep(opt: Config, runs_root: str, trunc_nums=(0, 100)):
+    """Evaluate every trained run under ``runs_root`` (the reference's LOGS
+    sweep tables, test_diml.py:100-183: one row per training objective) and
+    write a combined table."""
+    rows = []
+    for name in sorted(os.listdir(runs_root)):
+        ckpt = os.path.join(runs_root, name, "best")
+        if not os.path.isdir(ckpt):
+            ckpt = os.path.join(runs_root, name, "latest")
+            if not os.path.isdir(ckpt):
+                continue
+        print(f"=== {name} ===")
+        res = run_eval(opt.replace(resume_path=ckpt, group=name), trunc_nums)
+        rows.append((name, res))
+    os.makedirs("test_results", exist_ok=True)
+    out_csv = f"test_results/sweep_{opt.dataset}.csv"
+    with open(out_csv, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(
+            ["run"] + [f"{m}@{t}" for m in ("r1", "rp", "mapr") for t in trunc_nums]
+        )
+        for name, res in rows:
+            w.writerow(
+                [name]
+                + [round(res[m][t], 4) for m in ("r1", "rp", "mapr") for t in trunc_nums]
+            )
+    print(f"sweep table written to {out_csv}")
+    return rows
+
+
 def main(argv=None):
+    import argparse
+
+    sweep_root = None
+    if argv and "--sweep" in argv:
+        i = argv.index("--sweep")
+        sweep_root = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    elif argv is None:
+        import sys
+
+        if "--sweep" in sys.argv:
+            i = sys.argv.index("--sweep")
+            sweep_root = sys.argv[i + 1]
+            sys.argv = sys.argv[:i] + sys.argv[i + 2 :]
     opt = from_args(argv)
+    if sweep_root:
+        return sweep(opt, sweep_root, trunc_nums=(0, 100))
     return run_eval(opt, trunc_nums=(0, 100))
 
 

@@ -438,3 +438,37 @@ class SyntheticMSLS(MSLS):
         positive = self._load(self.dbImages[pidx])
         negatives = np.stack([self._load(self.dbImages[i]) for i in nidx])
         return query, positive, negatives, [qidx, pidx] + list(nidx)
+
+
+class MSLSEmbedTri(MSLS):
+    """KD triplet variant — the reference's missing ``MSLS_embed_tri``
+    (imported at train_msls_baseline.py:30 / train_epoch_KD_tri.py:37;
+    behavior reconstructed from the epoch loop): every triplet is loaded
+    twice, once through the student transform and once through the teacher
+    transform (teachers may use a different input size, e.g. NetVLAD 480x640
+    vs student 224), and the collate returns both views."""
+
+    def __init__(self, *args, teacher_transform=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.teacher_transform = teacher_transform or self.transform
+
+    def __getitem__(self, idx):
+        triplet, target = self.triplets[idx]
+        qidx, pidx, nidx = triplet[0], triplet[1], triplet[2:]
+
+        def load(transform):
+            q = transform(Image.open(self.qImages[qidx]))
+            p = transform(Image.open(self.dbImages[pidx]))
+            n = np.stack([transform(Image.open(self.dbImages[i])) for i in nidx])
+            return q, p, n, [qidx, pidx] + list(nidx)
+
+        return load(self.transform), load(self.teacher_transform)
+
+    @staticmethod
+    def collate_fn(batch):
+        batch = [b for b in batch if b is not None]
+        if not batch:
+            return (None,) * 5, (None,) * 5
+        s_items = [b[0] for b in batch]
+        t_items = [b[1] for b in batch]
+        return MSLS.collate_fn(s_items), MSLS.collate_fn(t_items)
