@@ -98,6 +98,7 @@ def make_train_step(
     loss_input: str = "embed",
     pass_class_token: bool = False,
     donate: bool = True,
+    state_shardings=None,
 ):
     """Build the jitted train step.
 
@@ -151,13 +152,14 @@ def make_train_step(
         return new_state, metrics
 
     if mesh is not None:
-        state_sh = replicated(mesh)
+        state_sh = state_shardings if state_shardings is not None else replicated(mesh)
         img_sh = batch_sharding(mesh, 4)
         lab_sh = batch_sharding(mesh, 1)
+        rep = replicated(mesh)
         step_fn = jax.jit(
             step_fn,
-            in_shardings=(state_sh, img_sh, lab_sh, state_sh),
-            out_shardings=(state_sh, state_sh),
+            in_shardings=(state_sh, img_sh, lab_sh, rep),
+            out_shardings=(state_sh, rep),
             donate_argnums=(0,) if donate else (),
         )
     else:

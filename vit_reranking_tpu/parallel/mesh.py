@@ -59,6 +59,26 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(put, batch)
 
 
+def tp_state_shardings(mesh: Mesh, state, rules):
+    """Build a sharding pytree matching ``state``: leaves whose key-path
+    contains a rule substring get that rule's PartitionSpec (when the rank
+    fits), everything else replicates.
+
+    Used to shard e.g. the embedding head over the ``model`` axis — the
+    reference's backbones are small enough that only the data axis matters
+    (SURVEY.md section 2.10), but the TP plumbing stays first-class.
+    """
+
+    def leaf(path, x):
+        keys = "/".join(str(getattr(p, "key", getattr(p, "name", ""))) for p in path)
+        for sub, spec in rules:
+            if sub in keys and getattr(x, "ndim", 0) == len(spec):
+                return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(leaf, state)
+
+
 def pad_to_multiple(x, multiple: int, axis: int = 0, value=0):
     """Pad the leading axis so it divides the data-axis size; returns
     (padded, n_real)."""
