@@ -67,9 +67,34 @@ class RunLogger:
         with open(os.path.join(self.run_dir, "hypa.json"), "w") as f:
             json.dump({k: str(v) for k, v in sorted(d.items())}, f, indent=1)
 
+    def init_online(self, project: str = "vit_reranking_tpu", backend: str = "wandb"):
+        """Optional online logging (reference utilities/logger.py:168-181
+        wandb/comet hooks); silently disabled when the library is absent."""
+        self._online = None
+        try:
+            if backend == "wandb":
+                import wandb
+
+                wandb.init(project=project, dir=self.run_dir)
+                self._online = ("wandb", wandb)
+            elif backend == "comet":
+                from comet_ml import Experiment
+
+                self._online = ("comet", Experiment(project_name=project))
+        except Exception:
+            self._online = None
+
     def log(self, sub: str, metrics: Dict[str, float], step: int):
         for k, v in metrics.items():
             self.history[sub][k].append(float(v))
+        online = getattr(self, "_online", None)
+        if online is not None:
+            kind, handle = online
+            payload = {f"{sub}/{k}": float(v) for k, v in metrics.items()}
+            if kind == "wandb":
+                handle.log(payload, step=step)
+            else:
+                handle.log_metrics(payload, step=step)
         key = sub
         if key not in self.csvs:
             self.csvs[key] = CSVWriter(

@@ -192,7 +192,10 @@ class SwinNetwork(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)  # (B, 49, 768)
         no_avg_feat = x
         enc_out = jnp.mean(x, axis=1)
-        out = nn.Dense(self.embed_dim, name="head")(enc_out)
+        head = nn.Dense(self.embed_dim, name="head")
+        out = head(enc_out)
         if self.normalize:
             out = l2norm(out)
-        return out, (enc_out, no_avg_feat), {}
+        # Swin rerank projects the token map through the head before pooling
+        # to the DIML grid (reference eval_swin_diml.py:183-195)
+        return out, (enc_out, no_avg_feat), {"head_tokens": head(no_avg_feat)}

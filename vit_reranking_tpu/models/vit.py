@@ -111,10 +111,11 @@ class ViTNetwork(nn.Module):
         tokens = nn.LayerNorm(epsilon=1e-6, name="norm")(tokens)
         enc_out = tokens[:, 0]
         no_avg_feat = tokens[:, 1:]  # (B, 196, 384)
-        out = nn.Dense(self.embed_dim, name="head")(enc_out)
+        head = nn.Dense(self.embed_dim, name="head")
+        out = head(enc_out)
         if self.normalize:
             out = l2norm(out)
-        aux: Dict[str, Any] = {}
+        aux: Dict[str, Any] = {"head_tokens": head(no_avg_feat)}
         if ret_attn and qk_out is not None:
             aux["q"], aux["k"] = qk_out
         if ret_layers:
