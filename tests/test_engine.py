@@ -133,3 +133,38 @@ def test_rerank_evaluate_rollout_method():
         method="rollout", flags=dict(use_ot=True, ot_part=1.0), query_block=64,
     )
     assert np.isfinite(res["r1"][10])
+
+
+def test_run_logger(tmp_path):
+    """CSV creation, run-dir dedup, param snapshot (reference logger.py:64-159
+    behaviors; the reference's ad-hoc logger check lived in utilities/test.py)."""
+    from vit_reranking_tpu.core.logger import RunLogger
+
+    o = types.SimpleNamespace(save_path=str(tmp_path), group="g", seed=0, dataset="d")
+    l1 = RunLogger(o)
+    l2 = RunLogger(o)  # dedup: second run dir gets a _v suffix
+    assert l1.run_dir != l2.run_dir
+    import os
+
+    assert os.path.exists(os.path.join(l1.run_dir, "Parameter_Info.txt"))
+    l1.log("Train", {"loss": 1.0}, 0)
+    l1.log("Train", {"loss": 0.5}, 1)
+    with open(os.path.join(l1.run_dir, "log_train.csv")) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == "step,loss" and len(lines) == 3
+    l1.plot_curves()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from vit_reranking_tpu.core.checkpoint import copy_best, load_checkpoint, save_checkpoint
+    from vit_reranking_tpu.core.misc import gimme_params
+
+    state = {"params": {"w": jnp.ones((3, 2))}, "step": jnp.asarray(5)}
+    assert gimme_params(state["params"]) == 6
+    save_checkpoint(str(tmp_path / "run" / "latest"), state, {"r1": 1.0})
+    restored = load_checkpoint(str(tmp_path / "run" / "latest"), target=state)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), np.ones((3, 2)))
+    assert int(restored["step"]) == 5
+    copy_best(str(tmp_path / "run"))
+    best = load_checkpoint(str(tmp_path / "run" / "best"), target=state)
+    assert int(best["step"]) == 5
