@@ -50,8 +50,25 @@ def filter_attention_map(
     if k == 0:
         return fused
     flat = fused.reshape(B, Tq * Tk)
-    # value of the k-th smallest entry per sample; zero everything <= it
-    kth = -jax.lax.top_k(-flat, k)[0][:, -1]
+    # value of the k-th smallest entry per sample; zero everything <= it.
+    # For large maps (stage-0: 3136x784) an exact top_k sorts millions of
+    # entries per image and dominates the whole rollout extraction; a value
+    # bisection finds the same threshold in ~40 counting passes (exact for
+    # f32 up to ties, which are measure-zero on softmax outputs).
+    if flat.shape[1] <= 65536:
+        kth = -jax.lax.top_k(-flat, k)[0][:, -1]
+    else:
+        def body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            count = jnp.sum((flat <= mid[:, None]).astype(jnp.int32), axis=1)
+            lo = jnp.where(count < k, mid, lo)
+            hi = jnp.where(count < k, hi, mid)
+            return lo, hi
+
+        lo0 = jnp.min(flat, axis=1)
+        hi0 = jnp.max(flat, axis=1)
+        _, kth = jax.lax.fori_loop(0, 40, body, (lo0, hi0))
     if compat_crossbatch:
         # reference quirk: every sample is masked with the union of all
         # samples' discard sets
