@@ -83,3 +83,16 @@ def test_margin_cross_diml():
     loss = crit({}, None, labels, key=jax.random.PRNGKey(0),
                 batch=feats, cross_apply=cross_apply)
     assert np.isfinite(float(loss))
+
+
+def test_calc_similarity_cross():
+    from vit_reranking_tpu.models.vit import calc_similarity_cross
+
+    cross = archs.CrossNet(embed_dim=8, dim=16, depth=1)
+    rng = np.random.default_rng(3)
+    anchor = jnp.asarray(rng.standard_normal((6, 16)).astype(np.float32))
+    fb = jnp.asarray(rng.standard_normal((5, 6, 16)).astype(np.float32))
+    cv = cross.init({"params": jax.random.PRNGKey(0)}, fb, fb)
+    sims = calc_similarity_cross(anchor, fb, lambda a, b: cross.apply(cv, a, b))
+    assert sims.shape == (5,)
+    assert np.all(np.isfinite(np.asarray(sims)))

@@ -188,3 +188,16 @@ class CrossNet(nn.Module):
         if self.normalize:
             x_out, y_out = l2norm(x_out), l2norm(y_out)
         return x_out, y_out
+
+
+def calc_similarity_cross(anchor_tokens, fb_tokens, cross_apply):
+    """Cross-encoder rerank scores (reference utilities/cross.py:22-32):
+    expand the anchor against each candidate, cross-encode the pair, score by
+    the dot product of the two cross-attended cls embeddings.
+
+    anchor_tokens (L, D); fb_tokens (N, L, D); cross_apply = bound CrossNet.
+    """
+    N = fb_tokens.shape[0]
+    anchors = jnp.broadcast_to(anchor_tokens[None], fb_tokens.shape)
+    a_cls, f_cls = cross_apply(anchors, fb_tokens)
+    return jnp.einsum("bd,bd->b", a_cls, f_cls, preferred_element_type=jnp.float32)
