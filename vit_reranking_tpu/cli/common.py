@@ -22,11 +22,15 @@ from ..engine.train import (
 from ..parallel.mesh import create_mesh
 
 
-def seed_everything(seed: int):
+def seed_everything(seed: int, debug: bool = False):
     np.random.seed(seed)
     import random
 
     random.seed(seed)
+    if debug:
+        # NaN-checking debug mode (SURVEY.md section 5: replaces the
+        # reference's breakpoint()/ipdb scaffolding)
+        jax.config.update("jax_debug_nans", True)
 
 
 def build_labels(opt: Config, params, loss_params):

@@ -29,7 +29,7 @@ from .common import load_pretrained_into, seed_everything
 
 
 def run_eval(opt: Config, trunc_nums=(0, 100)):
-    seed_everything(opt.seed)
+    seed_everything(opt.seed, debug=opt.debug)
     loaders, _ = build_dataset(opt)
     test_loader = loaders["testing"]
 

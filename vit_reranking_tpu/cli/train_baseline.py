@@ -41,7 +41,7 @@ def evaluate_plain(model, variables, loader, pad_batch=None):
 
 def main(argv=None):
     opt = from_args(argv)
-    seed_everything(opt.seed)
+    seed_everything(opt.seed, debug=opt.debug)
 
     loaders, sampler = build_dataset(opt)
     train_loader = loaders["training"]

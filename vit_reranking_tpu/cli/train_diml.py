@@ -52,7 +52,7 @@ def main(argv=None):
     opt = from_args(argv)
     if "diml" not in opt.arch:
         opt = opt.replace(arch=opt.arch.replace("cvt", "cvt_diml", 1)) if opt.arch.startswith("cvt") else opt
-    seed_everything(opt.seed)
+    seed_everything(opt.seed, debug=opt.debug)
 
     loaders, sampler = build_dataset(opt)
     train_loader = loaders["training"]

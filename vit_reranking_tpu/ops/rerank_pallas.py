@@ -147,11 +147,15 @@ def rollout_marginals(
 
 
 def _pack_pairs(x: jnp.ndarray, P: int) -> jnp.ndarray:
-    """(Npairs, ...) -> (nsteps, ..., P) with pairs on the last axis.
-    Npairs must be a multiple of P (callers pad)."""
+    """(Npairs, ...) -> (nsteps, ..., P) with pairs on the last axis; the
+    pair count pads up to a multiple of P (padded pairs are dropped by the
+    caller after unpacking)."""
     n = x.shape[0]
+    pad = (-n) % P
+    if pad:
+        x = jnp.concatenate([x, jnp.ones((pad, *x.shape[1:]), x.dtype)], axis=0)
     rest = x.shape[1:]
-    nsteps = n // P
+    nsteps = x.shape[0] // P
     x = x.reshape(nsteps, P, *rest)
     return jnp.moveaxis(x, 1, -1)
 
@@ -178,7 +182,8 @@ def fused_rerank_tile(
         Sp, up, vp, iters=iters, thresh=thresh, ot_temp=ot_temp, ot_part=ot_part,
         interpret=interpret,
     )
-    return jnp.moveaxis(scores, -1, 1).reshape(T, K)
+    flat = jnp.moveaxis(scores, -1, 1).reshape(-1)[: T * K]
+    return flat.reshape(T, K)
 
 
 def fused_rollout_rerank_scores(
@@ -203,9 +208,6 @@ def fused_rollout_rerank_scores(
     K = top_inds.shape[1]
     # choose a pair-lane pack that divides the tile's pair count
     P = PAIR_LANES
-    while (query_tile * K) % P:
-        P //= 2
-    assert P >= 128, f"query_tile*K={query_tile*K} must admit a >=128 pack"
 
     outs = []
     for s in range(0, N, query_tile):
@@ -241,9 +243,6 @@ def fused_featvit_rerank_scores(
     N, C, R = feature_bank.shape
     K = top_inds.shape[1]
     P = PAIR_LANES
-    while (query_tile * K) % P:
-        P //= 2
-    assert P >= 128
 
     outs = []
     for s in range(0, N, query_tile):
