@@ -146,3 +146,17 @@ def test_frozen_param_mask():
     train = [p for p, val in flat if val]
     assert froze and train
     assert all("stage0" in str(p) or "stage1" in str(p) for p in froze)
+
+
+def test_cvt_remat_matches_and_differentiates():
+    """remat=True must be numerically identical and differentiable
+    (jax.checkpoint recompute, SURVEY section 7 HBM note)."""
+    m1 = archs.CvTNetwork(embed_dim=16, remat=True)
+    m2 = archs.CvTNetwork(embed_dim=16, remat=False)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 64, 64, 3)), jnp.float32)
+    v = m1.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    e1 = m1.apply(v, x, train=False)[0]
+    e2 = m2.apply(v, x, train=False)[0]
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-6)
+    g = jax.grad(lambda p: jnp.sum(m1.apply({"params": p, "batch_stats": v.get("batch_stats", {})}, x, train=False)[0] ** 2))(v["params"])
+    assert all(bool(jnp.all(jnp.isfinite(t))) for t in jax.tree.leaves(g))

@@ -202,6 +202,7 @@ class Config:
     synthetic_per_class: int = 16
     synthetic_size: int = 224
     use_qk: bool = False  # ViT attention-marginal rerank (eval_attn_diml path)
+    remat: bool = False  # rematerialize CvT blocks (activation memory <-> FLOPs)
     device_batch: bool = True  # shard batches over the data mesh axis
     mesh_shape: Optional[str] = None  # e.g. "data:8" or "data:4,model:2"
     bf16: bool = True  # backbone compute dtype

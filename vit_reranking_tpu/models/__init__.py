@@ -76,7 +76,10 @@ def select(arch: str, opt):
             )
         if "fp" in a:  # fpn pooling variant (reference cvt.FPNetwork)
             return CvTFPNetwork(embed_dim=embed_dim, normalize=normalize)
-        return CvTNetwork(embed_dim=embed_dim, normalize=normalize)
+        return CvTNetwork(
+            embed_dim=embed_dim, normalize=normalize,
+            remat=bool(getattr(opt, "remat", False)),
+        )
     raise NotImplementedError(f"architecture {arch} not available")
 
 

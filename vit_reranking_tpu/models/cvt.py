@@ -200,11 +200,16 @@ class CvTBlock(nn.Module):
 
 
 class CvTStage(nn.Module):
-    """Conv embed + blocks (reference VisionTransformer, cvt.py:382-500)."""
+    """Conv embed + blocks (reference VisionTransformer, cvt.py:382-500).
+
+    ``remat`` wraps each block in jax.checkpoint (rematerialisation), trading
+    recompute for activation memory — lets batch sizes scale well past the
+    reference's 112 on one chip."""
 
     spec: CvTSpec
     index: int
     rollout_grid: int = 7
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, ret_attn: bool = False):
@@ -234,8 +239,9 @@ class CvTStage(nn.Module):
 
         dpr = [float(r) for r in np.linspace(0.0, s.drop_path_rate[i], depth)]
         rollout_maps = []
+        block_cls = nn.remat(CvTBlock, static_argnums=(2, 3, 4, 5)) if self.remat else CvTBlock
         for j in range(depth):
-            tokens, weights = CvTBlock(
+            tokens, weights = block_cls(
                 dim=C,
                 num_heads=s.num_heads[i],
                 mlp_ratio=s.mlp_ratio[i],
@@ -269,6 +275,7 @@ class ConvolutionalVisionTransformer(nn.Module):
 
     spec: CvTSpec = CVT13_SPEC
     rollout_grid: int = 7
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, ret_attn: bool = False):
@@ -276,7 +283,8 @@ class ConvolutionalVisionTransformer(nn.Module):
         cls_tokens = None
         for i in range(self.spec.num_stages):
             x, cls_tokens, maps = CvTStage(
-                self.spec, i, rollout_grid=self.rollout_grid, name=f"stage{i}"
+                self.spec, i, rollout_grid=self.rollout_grid, remat=self.remat,
+                name=f"stage{i}"
             )(x, train, ret_attn)
             rollout_maps.extend(maps)
         return x, cls_tokens, rollout_maps
@@ -294,12 +302,13 @@ class CvTNetwork(nn.Module):
     num_classes: int = 0  # >0: ImageNet classifier head instead of embed head
     normalize: bool = True
     rollout_grid: int = 7
+    remat: bool = False
     spec: CvTSpec = CVT13_SPEC
 
     @nn.compact
     def __call__(self, x, train: bool = False, ret_attn: bool = False):
         trunk = ConvolutionalVisionTransformer(
-            self.spec, rollout_grid=self.rollout_grid, name="trunk"
+            self.spec, rollout_grid=self.rollout_grid, remat=self.remat, name="trunk"
         )
         tokens_hw, cls_tok, rollout_maps = trunk(x, train, ret_attn)
         B, H, W, C = tokens_hw.shape
