@@ -217,7 +217,12 @@ def build_parser() -> argparse.ArgumentParser:
     for f in dataclasses.fields(Config):
         name = "--" + f.name
         if f.type == "bool" or isinstance(f.default, bool):
-            parser.add_argument(name, action="store_true", default=f.default)
+            # BooleanOptionalAction: `--flag` still sets True like the
+            # reference's store_true flags, and `--no-flag` can disable
+            # True-by-default framework options (device_batch, bf16)
+            parser.add_argument(
+                name, action=argparse.BooleanOptionalAction, default=f.default
+            )
         elif f.default_factory is not dataclasses.MISSING:  # type: ignore[misc]
             d = f.default_factory()  # type: ignore[misc]
             el = type(d[0]) if d else str
