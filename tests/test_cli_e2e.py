@@ -1,0 +1,40 @@
+"""CLI wiring end-to-end smoke: train -> checkpoint -> rerank eval through the
+actual entry points on the CPU mesh (catches registry/flag/IO regressions)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+ARGS_COMMON = [
+    "--dataset", "synthetic", "--synthetic_size", "32", "--synthetic_classes", "4",
+    "--synthetic_per_class", "8", "--kernels", "1", "--bs", "8",
+]
+
+
+def test_train_then_eval(tmp_path):
+    from vit_reranking_tpu.cli.train_baseline import main as train_main
+    from vit_reranking_tpu.cli.test_diml import main as eval_main
+
+    r1 = train_main(ARGS_COMMON + [
+        "--arch", "resnet50_normalize", "--loss", "margin",
+        "--batch_mining", "distance", "--n_epochs", "1", "--evalevery", "1",
+        "--lr", "0.0001", "--save_path", str(tmp_path), "--group", "cli",
+    ])
+    assert 0.0 <= r1 <= 100.0
+    ckpt = os.path.join(str(tmp_path), "synthetic", "cli_s1", "best")
+    assert os.path.isdir(ckpt)
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # results CSV lands under tmp
+    try:
+        res = eval_main(ARGS_COMMON + [
+            "--arch", "resnet50_normalize", "--resume_path", ckpt,
+            "--use_uniform", "--use_ot", "--grid_size", "1",
+            "--save_path", str(tmp_path),
+        ])
+    finally:
+        os.chdir(cwd)
+    assert np.isfinite(res["r1"][0])
+    assert (tmp_path / "test_results" / "test_diml_synthetic.csv").exists()

@@ -191,3 +191,18 @@ def test_sop_txt_loader(tmp_path):
     assert len(splits["training"]) == 3 and len(splits["testing"]) == 3
     # class ids remapped 0-based contiguous
     assert sorted(splits["testing"].image_dict) == [0, 1]
+
+
+def test_loader_host_sharding():
+    splits = data.select("synthetic", opt(synthetic_per_class=16))
+    te = splits["testing"]
+    all_batches = []
+    for h in range(2):
+        l = data.DataLoader(te, batch_size=8, shuffle=False, num_workers=1,
+                            host_id=h, n_hosts=2)
+        got = [tuple(idx.tolist()) for _, _, idx in l]
+        assert len(got) == len(l)
+        all_batches.extend(got)
+    # hosts partition the batch stream with no overlap and full coverage
+    flat = [i for b in all_batches for i in b]
+    assert sorted(flat) == list(range(len(te)))

@@ -34,6 +34,8 @@ class DataLoader:
         num_workers: int = 8,
         prefetch: int = 4,
         seed: int = 0,
+        host_id: int = 0,
+        n_hosts: int = 1,
     ):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
@@ -43,26 +45,37 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
+        # per-host sharding for multi-host pods (SURVEY 2.10: per-host data
+        # loading): host h consumes every n_hosts-th batch of the shared,
+        # seed-deterministic batch stream
+        self.host_id = host_id
+        self.n_hosts = max(1, n_hosts)
 
     def _index_batches(self) -> Iterator[List[int]]:
         if self.batch_sampler is not None:
-            yield from self.batch_sampler
+            for bi, batch in enumerate(self.batch_sampler):
+                if bi % self.n_hosts == self.host_id:
+                    yield batch
             return
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
         bs = self.batch_size
-        for s in range(0, len(order), bs):
+        for bi, s in enumerate(range(0, len(order), bs)):
             chunk = order[s : s + bs]
             if self.drop_last and len(chunk) < bs:
                 return
-            yield list(chunk)
+            if bi % self.n_hosts == self.host_id:
+                yield list(chunk)
 
     def __len__(self):
         if self.batch_sampler is not None:
-            return len(self.batch_sampler)
-        n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+            total = len(self.batch_sampler)
+        else:
+            n = len(self.dataset)
+            total = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        # batches this host consumes
+        return (total - self.host_id + self.n_hosts - 1) // self.n_hosts
 
     def __iter__(self):
         def fetch(batch_idx):
