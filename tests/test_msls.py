@@ -125,3 +125,35 @@ def test_train_msls_smoke_synthetic():
         "--group", "test", "--bs", "4",
     ])
     assert 0.0 <= r5 <= 1.0
+
+
+def test_msls_val_with_rerank(msls):
+    """DIML rerank path in MSLS val (dimlR_N keys)."""
+    emb = oracle_embed(msls)
+
+    def extract(imgs):
+        c = emb(imgs)
+        # synthesize dense patch features correlated with the global ones
+        d = np.repeat(c[:, :, None], 4, axis=2).astype(np.float32)
+        d += 0.01 * np.random.default_rng(0).standard_normal(d.shape).astype(np.float32)
+        return c, d
+
+    recalls = msls_val(msls, extract, trunc_nums=(0, 8), batch=8)
+    assert "dimlR_5" in recalls
+    assert 0.0 <= recalls["dimlR_5"] <= 1.0
+
+
+def test_netvlad_cluster_init():
+    from vit_reranking_tpu.engine.clusters import init_netvlad_clusters
+
+    rng = np.random.default_rng(0)
+
+    def encoder(images):
+        B = images.shape[0]
+        return jnp.asarray(rng.standard_normal((B, 4, 4, 16)).astype(np.float32))
+
+    batches = [np.zeros((4, 32, 32, 3), np.float32) for _ in range(4)]
+    init = init_netvlad_clusters(encoder, iter(batches), num_clusters=4,
+                                 n_descriptors=200, per_image=16)
+    assert init["centroids"].shape == (4, 16)
+    assert init["conv_kernel"].shape == (16, 4)

@@ -32,7 +32,6 @@ def main(argv=None):
             "batch_stats": restored.get("batch_stats", {}),
         }
 
-    with_dense = max(0, *([100] if opt.use_ot else [0])) > 0 or opt.use_ot
     extract = make_extract_fn(model, variables, batch=8, with_dense=opt.use_ot,
                               grid_size=opt.grid_size)
     recalls = msls_val(
