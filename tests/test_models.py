@@ -160,3 +160,16 @@ def test_cvt_remat_matches_and_differentiates():
     np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-6)
     g = jax.grad(lambda p: jnp.sum(m1.apply({"params": p, "batch_stats": v.get("batch_stats", {})}, x, train=False)[0] ** 2))(v["params"])
     assert all(bool(jnp.all(jnp.isfinite(t))) for t in jax.tree.leaves(g))
+
+
+def test_cvt_bf16_close_to_f32():
+    import jax.numpy as jnp2
+
+    m32 = archs.CvTNetwork(embed_dim=16)
+    mbf = archs.CvTNetwork(embed_dim=16, dtype=jnp2.bfloat16)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((1, 64, 64, 3)), jnp.float32)
+    v = m32.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    e32 = m32.apply(v, x, train=False)[0]
+    ebf = mbf.apply(v, x, train=False)[0].astype(jnp.float32)
+    cos = float(jnp.sum(e32 * ebf, -1)[0])
+    assert cos > 0.999, cos

@@ -205,7 +205,7 @@ class Config:
     remat: bool = False  # rematerialize CvT blocks (activation memory <-> FLOPs)
     device_batch: bool = True  # shard batches over the data mesh axis
     mesh_shape: Optional[str] = None  # e.g. "data:8" or "data:4,model:2"
-    bf16: bool = True  # backbone compute dtype
+    bf16: bool = False  # bf16 activation compute in the backbone (+31% train step)
     pretrained_ckpt: Optional[str] = None  # torch checkpoint for converters
 
     def replace(self, **kw) -> "Config":

@@ -76,9 +76,12 @@ def select(arch: str, opt):
             )
         if "fp" in a:  # fpn pooling variant (reference cvt.FPNetwork)
             return CvTFPNetwork(embed_dim=embed_dim, normalize=normalize)
+        import jax.numpy as jnp
+
         return CvTNetwork(
             embed_dim=embed_dim, normalize=normalize,
             remat=bool(getattr(opt, "remat", False)),
+            dtype=jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32,
         )
     raise NotImplementedError(f"architecture {arch} not available")
 

@@ -56,13 +56,16 @@ class Mlp(nn.Module):
     out_features: int
     act: Callable = quick_gelu
     dropout: float = 0.0
+    dtype: Any = None  # None = promote (f32); pass bf16 for mixed compute
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Dense(self.hidden_features, kernel_init=trunc_normal_init(), name="fc1")(x)
+        x = nn.Dense(self.hidden_features, kernel_init=trunc_normal_init(),
+                     dtype=self.dtype, name="fc1")(x)
         x = self.act(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Dense(self.out_features, kernel_init=trunc_normal_init(), name="fc2")(x)
+        x = nn.Dense(self.out_features, kernel_init=trunc_normal_init(),
+                     dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
 

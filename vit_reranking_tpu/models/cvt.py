@@ -69,6 +69,7 @@ class ConvProj(nn.Module):
     kernel: int
     stride: int
     padding: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -79,10 +80,12 @@ class ConvProj(nn.Module):
             padding=[(self.padding, self.padding)] * 2,
             feature_group_count=self.dim,
             use_bias=False,
+            dtype=self.dtype,
             name="conv",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn"
         )(x)
         B, H, W, C = x.shape
         return x.reshape(B, H * W, C)
@@ -102,6 +105,7 @@ class CvTAttention(nn.Module):
     with_cls_token: bool
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, h: int, w: int, train: bool = False, ret_attn: bool = False):
@@ -112,22 +116,20 @@ class CvTAttention(nn.Module):
             cls_tok, tokens = None, x
         spatial = tokens.reshape(B, h, w, C)
 
-        q = ConvProj(self.dim, self.kernel, self.stride_q, self.padding_q, name="conv_proj_q")(
-            spatial, train
-        )
-        k = ConvProj(self.dim, self.kernel, self.stride_kv, self.padding_kv, name="conv_proj_k")(
-            spatial, train
-        )
-        v = ConvProj(self.dim, self.kernel, self.stride_kv, self.padding_kv, name="conv_proj_v")(
-            spatial, train
-        )
+        q = ConvProj(self.dim, self.kernel, self.stride_q, self.padding_q,
+                     dtype=self.dtype, name="conv_proj_q")(spatial, train)
+        k = ConvProj(self.dim, self.kernel, self.stride_kv, self.padding_kv,
+                     dtype=self.dtype, name="conv_proj_k")(spatial, train)
+        v = ConvProj(self.dim, self.kernel, self.stride_kv, self.padding_kv,
+                     dtype=self.dtype, name="conv_proj_v")(spatial, train)
         if cls_tok is not None:
             q = jnp.concatenate([cls_tok, q], axis=1)
             k = jnp.concatenate([cls_tok, k], axis=1)
             v = jnp.concatenate([cls_tok, v], axis=1)
 
         proj = lambda name: nn.Dense(
-            self.dim, use_bias=self.qkv_bias, kernel_init=trunc_normal_init(), name=name
+            self.dim, use_bias=self.qkv_bias, kernel_init=trunc_normal_init(),
+            dtype=self.dtype, name=name
         )
         hd = self.dim // self.num_heads
         q = proj("proj_q")(q).reshape(B, -1, self.num_heads, hd).transpose(0, 2, 1, 3)
@@ -146,7 +148,8 @@ class CvTAttention(nn.Module):
 
         out = jnp.einsum("bhlt,bhtv->bhlv", attn.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(B, -1, self.dim)
-        out = nn.Dense(self.dim, kernel_init=trunc_normal_init(), name="proj")(out)
+        out = nn.Dense(self.dim, kernel_init=trunc_normal_init(),
+                       dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
         return out, weights
 
@@ -167,6 +170,7 @@ class CvTBlock(nn.Module):
     padding_q: int
     padding_kv: int
     with_cls_token: bool
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, h, w, train: bool = False, ret_attn: bool = False):
@@ -184,6 +188,7 @@ class CvTBlock(nn.Module):
             with_cls_token=self.with_cls_token,
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
+            dtype=self.dtype,
             name="attn",
         )(y, h, w, train, ret_attn)
         x = res + DropPath(self.drop_path, name="drop_path1")(attn_out, train)
@@ -193,6 +198,7 @@ class CvTBlock(nn.Module):
             out_features=self.dim,
             act=quick_gelu,
             dropout=self.drop,
+            dtype=self.dtype,
             name="mlp",
         )(y, train)
         x = x + DropPath(self.drop_path, name="drop_path2")(y, train)
@@ -204,23 +210,28 @@ class CvTStage(nn.Module):
 
     ``remat`` wraps each block in jax.checkpoint (rematerialisation), trading
     recompute for activation memory — lets batch sizes scale well past the
-    reference's 112 on one chip."""
+    reference's 112 on one chip.  ``dtype`` selects the activation compute
+    dtype (bf16 halves HBM traffic; params stay f32, LayerNorms and attention
+    softmax stay f32 via LayerNormFp32 / preferred_element_type)."""
 
     spec: CvTSpec
     index: int
     rollout_grid: int = 7
     remat: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, ret_attn: bool = False):
         i = self.index
         s = self.spec
+        x = x.astype(self.dtype)
         p = s.patch_size[i]
         x = nn.Conv(
             s.dim_embed[i],
             (p, p),
             strides=(s.patch_stride[i], s.patch_stride[i]),
             padding=[(s.patch_padding[i], s.patch_padding[i])] * 2,
+            dtype=self.dtype,
             name="patch_embed_proj",
         )(x)
         B, H, W, C = x.shape
@@ -255,6 +266,7 @@ class CvTStage(nn.Module):
                 padding_q=s.padding_q[i],
                 padding_kv=s.padding_kv[i],
                 with_cls_token=with_cls,
+                dtype=self.dtype,
                 name=f"block{j}",
             )(tokens, H, W, train, ret_attn)
             if ret_attn:
@@ -276,6 +288,7 @@ class ConvolutionalVisionTransformer(nn.Module):
     spec: CvTSpec = CVT13_SPEC
     rollout_grid: int = 7
     remat: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, ret_attn: bool = False):
@@ -284,7 +297,7 @@ class ConvolutionalVisionTransformer(nn.Module):
         for i in range(self.spec.num_stages):
             x, cls_tokens, maps = CvTStage(
                 self.spec, i, rollout_grid=self.rollout_grid, remat=self.remat,
-                name=f"stage{i}"
+                dtype=self.dtype, name=f"stage{i}"
             )(x, train, ret_attn)
             rollout_maps.extend(maps)
         return x, cls_tokens, rollout_maps
@@ -303,15 +316,19 @@ class CvTNetwork(nn.Module):
     normalize: bool = True
     rollout_grid: int = 7
     remat: bool = False
+    dtype: Any = jnp.float32
     spec: CvTSpec = CVT13_SPEC
 
     @nn.compact
     def __call__(self, x, train: bool = False, ret_attn: bool = False):
         trunk = ConvolutionalVisionTransformer(
-            self.spec, rollout_grid=self.rollout_grid, remat=self.remat, name="trunk"
+            self.spec, rollout_grid=self.rollout_grid, remat=self.remat,
+            dtype=self.dtype, name="trunk"
         )
         tokens_hw, cls_tok, rollout_maps = trunk(x, train, ret_attn)
         B, H, W, C = tokens_hw.shape
+        tokens_hw = tokens_hw.astype(jnp.float32)
+        cls_tok = cls_tok.astype(jnp.float32)
 
         norm = LayerNormFp32(name="norm")
         no_avg_feat = norm(tokens_hw.reshape(B, H * W, C))
