@@ -148,3 +148,66 @@ def test_triplet_matches_torch():
     ]
     ref = float(torch.mean(torch.stack(terms)))
     assert abs(ours - ref) < 1e-5
+
+
+def test_margin_matches_torch_loop():
+    """Canonical-recipe loss (reference criteria/margin.py:39-73), learned and
+    constant beta; includes the pair_count normalization quirk."""
+    emb, labels = make_batch(seed=3)
+    trips = fixed_triplets(labels)
+    e = torch.tensor(emb)
+
+    def torch_margin(beta_per_anchor):
+        d_ap, d_an = [], []
+        for a, p, n in trips:
+            d_ap.append(((e[a] - e[p]).pow(2).sum() + 1e-8).pow(0.5))
+            d_an.append(((e[a] - e[n]).pow(2).sum() + 1e-8).pow(0.5))
+        d_ap, d_an = torch.stack(d_ap), torch.stack(d_an)
+        beta = torch.tensor(beta_per_anchor, dtype=torch.float32)
+        pos_loss = F.relu(d_ap - beta + 0.2)
+        neg_loss = F.relu(beta - d_an + 0.2)
+        pair_count = torch.sum((pos_loss > 0.0) + (neg_loss > 0.0)).float()
+        if pair_count == 0.0:
+            return float(torch.sum(pos_loss + neg_loss))
+        return float(torch.sum(pos_loss + neg_loss) / pair_count)
+
+    # learned per-class beta
+    crit, groups = losses.select("margin", make_opt(), FixedTripletMiner(trips))
+    beta = np.asarray([1.2, 0.9, 1.5], np.float32)
+    ours = float(crit({"beta": jnp.asarray(beta)}, jnp.asarray(emb),
+                      jnp.asarray(labels), key=jax.random.PRNGKey(0)))
+    ref = torch_margin([beta[labels[a]] for a, _, _ in trips])
+    assert abs(ours - ref) < 1e-5
+    assert groups and groups[0][0] == "criterion"
+
+    # constant beta
+    critc, _ = losses.select(
+        "margin", make_opt(loss_margin_beta_constant=True), FixedTripletMiner(trips)
+    )
+    ours_c = float(critc({}, jnp.asarray(emb), jnp.asarray(labels),
+                         key=jax.random.PRNGKey(0)))
+    ref_c = torch_margin([1.2] * len(trips))
+    assert abs(ours_c - ref_c) < 1e-5
+
+
+def test_proxynca_matches_torch():
+    """reference criteria/proxynca.py:39-55: 3x-normalized NCA over proxies."""
+    emb, labels = make_batch(seed=4)
+    rng = np.random.default_rng(5)
+    proxies = rng.standard_normal((3, emb.shape[1])).astype(np.float32) / 8
+
+    crit, groups = losses.select("proxynca", make_opt())
+    ours = float(crit({"proxies": jnp.asarray(proxies)}, jnp.asarray(emb),
+                      jnp.asarray(labels), key=jax.random.PRNGKey(0)))
+
+    e = 3 * F.normalize(torch.tensor(emb), dim=1)
+    pr = 3 * F.normalize(torch.tensor(proxies), dim=1)
+    idxs = torch.arange(3)
+    pos = torch.stack([pr[l : l + 1] for l in labels])
+    neg_idx = [torch.cat([idxs[:l], idxs[l + 1 :]]) for l in labels]
+    neg = torch.stack([pr[ni] for ni in neg_idx])
+    d_neg = torch.sum((e[:, None, :] - neg).pow(2), dim=-1)
+    d_pos = torch.sum((e[:, None, :] - pos).pow(2), dim=-1)
+    ref = float(torch.mean(d_pos[:, 0] + torch.logsumexp(-d_neg, dim=1)))
+    assert abs(ours - ref) < 1e-5
+    assert groups and groups[0][0] == "criterion"
