@@ -211,3 +211,107 @@ def test_proxynca_matches_torch():
     ref = float(torch.mean(d_pos[:, 0] + torch.logsumexp(-d_neg, dim=1)))
     assert abs(ours - ref) < 1e-5
     assert groups and groups[0][0] == "criterion"
+
+
+def test_softmax_matches_torch():
+    """reference criteria/softmax.py:34-39: normalized class map, temp 0.05."""
+    emb, labels = make_batch(seed=6)
+    rng = np.random.default_rng(7)
+    cmap = rng.uniform(-0.35, 0.35, (3, emb.shape[1])).astype(np.float32)
+    crit, _ = losses.select(
+        "softmax", make_opt(loss_softmax_temperature=0.05)
+    )
+    ours = float(crit({"class_map": jnp.asarray(cmap)}, jnp.asarray(emb),
+                      jnp.asarray(labels), key=jax.random.PRNGKey(0)))
+    logits = torch.tensor(emb) @ F.normalize(torch.tensor(cmap), dim=1).T / 0.05
+    ref = float(torch.nn.CrossEntropyLoss()(logits, torch.tensor(labels, dtype=torch.long)))
+    assert abs(ours - ref) < 1e-5
+
+
+def test_arcface_matches_torch():
+    """reference criteria/arcface.py:36-55 — including the quirk that the
+    margin shift (marginal - original) is broadcast over ALL class logits."""
+    emb, labels = make_batch(seed=8)
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    rng = np.random.default_rng(9)
+    cmap = rng.uniform(-0.35, 0.35, (3, emb.shape[1])).astype(np.float32)
+    crit, _ = losses.select(
+        "arcface",
+        make_opt(loss_arcface_angular_margin=0.5, loss_arcface_feature_scale=16.0,
+                 loss_arcface_lr=0.0005),
+    )
+    ours = float(crit({"class_map": jnp.asarray(cmap)}, jnp.asarray(emb),
+                      jnp.asarray(labels), key=jax.random.PRNGKey(0)))
+    e, lab = torch.tensor(emb), torch.tensor(labels, dtype=torch.long)
+    cos = (e @ F.normalize(torch.tensor(cmap), dim=1).T).clamp(1e-10, 1 - 1e-10)
+    orig = cos[torch.arange(len(e)), lab]
+    marginal = torch.cos(torch.acos(orig) + 0.5)
+    logits = 16.0 * (cos + (marginal - orig).unsqueeze(1))
+    ref = float(torch.nn.CrossEntropyLoss()(logits, lab))
+    assert abs(ours - ref) < 1e-5
+
+
+def test_softtriplet_matches_torch():
+    """reference criteria/softtriplet.py:52-69 — keeps the reference's dim=1
+    centroid normalization (across centroids per embedding row) and
+    class-axis softmax."""
+    emb, labels = make_batch(seed=10)
+    n_classes, n_centroids, C = 3, 2, emb.shape[1]
+    rng = np.random.default_rng(11)
+    cent = rng.uniform(-0.4, 0.4, (C, n_classes * n_centroids)).astype(np.float32)
+    crit, _ = losses.select(
+        "softtriplet",
+        make_opt(loss_softtriplet_n_centroids=2, loss_softtriplet_margin_delta=0.01,
+                 loss_softtriplet_gamma=0.1, loss_softtriplet_lambda=8.0,
+                 loss_softtriplet_reg_weight=0.2, loss_softtriplet_lrmulti=1.0),
+    )
+    ours = float(crit({"centroids": jnp.asarray(cent)}, jnp.asarray(emb),
+                      jnp.asarray(labels), key=jax.random.PRNGKey(0)))
+
+    e, lab = torch.tensor(emb), torch.tensor(labels, dtype=torch.long)
+    cc = F.normalize(torch.tensor(cent), dim=1)
+    sims = (e @ cc).reshape(-1, n_classes, n_centroids)
+    w = torch.nn.Softmax(dim=1)(0.1 * sims)
+    per_class = torch.sum(w * sims, dim=2)
+    delta = torch.zeros_like(per_class)
+    delta[torch.arange(len(e)), lab] = 0.01
+    cls_loss = torch.nn.CrossEntropyLoss()(8.0 * (per_class - delta), lab)
+    inter = cc.T @ cc
+    reg_idx = torch.zeros(n_classes * n_centroids, n_classes * n_centroids, dtype=torch.bool)
+    for i in range(n_classes):
+        for j in range(n_centroids):
+            reg_idx[i * n_centroids + j, i * n_centroids + j + 1:(i + 1) * n_centroids] = 1
+    reg = torch.sum(torch.sqrt(2.00001 - 2 * inter[reg_idx])) / (n_classes * n_centroids * (n_centroids - 1))
+    ref = float(cls_loss + 0.2 * reg)
+    assert abs(ours - ref) < 1e-5
+
+
+def test_histogram_matches_torch():
+    """reference criteria/histogram.py:60-120: the hard two-neighbour bin
+    assignment equals our linear-interpolation soft histogram."""
+    emb, labels = make_batch(seed=12)
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    nbins = 65
+    bw = 2.0 / (nbins - 1)
+    crit, _ = losses.select("histogram", make_opt(loss_histogram_nbins=nbins))
+    ours = float(crit({}, jnp.asarray(emb), jnp.asarray(labels),
+                      key=jax.random.PRNGKey(0)))
+
+    sim = emb @ emb.T
+    B = len(labels)
+    iu, ju = np.triu_indices(B, k=1)
+    sims, eq = sim[iu, ju], labels[iu] == labels[ju]
+
+    def hard_hist(vals):
+        h = np.zeros(nbins)
+        for s in vals:
+            k = int((s + 1) / bw)  # the reference's int-floor bin assignment
+            assigned = k * bw - 1
+            h[k] += (-s + assigned + bw) / bw
+            if k + 1 < nbins:
+                h[k + 1] += (s - assigned) / bw
+        return h / max(len(vals), 1)
+
+    hp, hn = hard_hist(sims[eq]), hard_hist(sims[~eq])
+    ref = float(np.sum(hn * np.cumsum(hp)))
+    assert abs(ours - ref) < 1e-5
