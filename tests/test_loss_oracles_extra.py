@@ -315,3 +315,87 @@ def test_histogram_matches_torch():
     hp, hn = hard_hist(sims[eq]), hard_hist(sims[~eq])
     ref = float(np.sum(hn * np.cumsum(hp)))
     assert abs(ours - ref) < 1e-5
+
+
+def test_rkd_and_hkd_match_torch():
+    """MSLS distillation losses vs torch transcriptions of reference
+    training_tools/loss.py:52-90 (RKD) and :185-219 (Hinton KD)."""
+    from vit_reranking_tpu.losses.msls import (
+        hkd_loss, rkd_angle, rkd_distance, supcon_loss,
+    )
+
+    rng = np.random.default_rng(13)
+    s = rng.standard_normal((10, 16)).astype(np.float32)
+    t = rng.standard_normal((10, 16)).astype(np.float32)
+    st, tt = torch.tensor(s), torch.tensor(t)
+
+    def torch_pdist(e):
+        sq = e.pow(2).sum(1)
+        res = (sq.unsqueeze(1) + sq.unsqueeze(0) - 2 * e @ e.T).clamp(min=1e-12).sqrt()
+        res = res.clone()
+        res[range(len(e)), range(len(e))] = 0
+        return res
+
+    sl1 = torch.nn.SmoothL1Loss(reduction="mean")
+    t_d = torch_pdist(tt); t_d = t_d / t_d[t_d > 0].mean()
+    s_d = torch_pdist(st); s_d = s_d / s_d[s_d > 0].mean()
+    ref_dist = float(sl1(s_d, t_d))
+    assert abs(float(rkd_distance(jnp.asarray(s), jnp.asarray(t))) - ref_dist) < 1e-5
+
+    def torch_angles(e):
+        d = F.normalize(e.unsqueeze(0) - e.unsqueeze(1), p=2, dim=2)
+        return torch.bmm(d, d.transpose(1, 2)).view(-1)
+
+    ref_ang = float(sl1(torch_angles(st), torch_angles(tt)))
+    assert abs(float(rkd_angle(jnp.asarray(s), jnp.asarray(t))) - ref_ang) < 1e-5
+
+    # HKD over stacked (query, positive, negatives): bs=3, nNeg=2 -> 12 rows
+    bs, T = 3, 0.5
+    so = rng.standard_normal((12, 16)).astype(np.float32)
+    to = rng.standard_normal((12, 16)).astype(np.float32)
+    ours_hkd = float(hkd_loss(jnp.asarray(so), jnp.asarray(to), bs=bs, temperature=T))
+    sto, tto = torch.tensor(so), torch.tensor(to)
+    q_s, p_s, n_s = torch.split(sto, [bs, bs, 12 - 2 * bs])
+    q_t, p_t, n_t = torch.split(tto, [bs, bs, 12 - 2 * bs])
+    pn_s = torch.cat([p_s.view(bs, 1, -1), n_s.view(bs, -1, 16)], dim=1)
+    pn_t = torch.cat([p_t.view(bs, 1, -1), n_t.view(bs, -1, 16)], dim=1)
+    prob_s = torch.bmm(q_s.view(bs, 1, -1), pn_s.transpose(1, 2)).squeeze(1)
+    prob_t = torch.bmm(q_t.view(bs, 1, -1), pn_t.transpose(1, 2)).squeeze(1)
+    ref_hkd = float(
+        torch.nn.KLDivLoss(reduction="batchmean")(
+            F.log_softmax(prob_s / T, dim=1), F.softmax(prob_t / T, dim=1)
+        ) * (T * T)
+    )
+    assert abs(ours_hkd - ref_hkd) < 1e-5
+
+
+def test_supcon_two_views_matches_torch():
+    """SupCon (reference loss.py:94-180) with V=2 views exercises the mask
+    tiling and per-view anchor averaging."""
+    from vit_reranking_tpu.losses.msls import supcon_loss
+
+    rng = np.random.default_rng(14)
+    B, V, C = 6, 2, 8
+    f = rng.standard_normal((B, V, C)).astype(np.float32)
+    f = f / np.linalg.norm(f, axis=-1, keepdims=True)
+    labels = np.arange(B) % 3
+    temp = 0.07
+    ours = float(supcon_loss(jnp.asarray(f), jnp.asarray(labels), temperature=temp))
+
+    ft = torch.tensor(f)
+    lab = torch.tensor(labels).view(-1, 1)
+    mask = torch.eq(lab, lab.T).float()
+    contrast = torch.cat(torch.unbind(ft, dim=1), dim=0)
+    anchor = contrast
+    logits = (anchor @ contrast.T) / temp
+    logits = logits - logits.max(dim=1, keepdim=True)[0].detach()
+    mask = mask.repeat(V, V)
+    logits_mask = torch.scatter(
+        torch.ones_like(mask), 1, torch.arange(B * V).view(-1, 1), 0
+    )
+    mask = mask * logits_mask
+    exp_logits = torch.exp(logits) * logits_mask
+    log_prob = logits - torch.log(exp_logits.sum(1, keepdim=True))
+    mean_lpp = (mask * log_prob).sum(1) / (mask.sum(1) + 1e-8)
+    ref = float((-(temp / temp) * mean_lpp).view(V, B).mean())
+    assert abs(ours - ref) < 1e-5
