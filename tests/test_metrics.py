@@ -63,3 +63,42 @@ def test_recall_at_ks():
     out = recall_at_ks(ranked, jnp.asarray(pos), ks=(1, 5))
     assert abs(out[1] - 100.0 / 3) < 1e-4
     assert abs(out[5] - 200.0 / 3) < 1e-4
+
+
+def test_metrics_extra_hand_values():
+    """Value oracles for the RevisitDML metric suite (hand-computed)."""
+    from vit_reranking_tpu.engine.metrics_extra import (
+        dist_stats,
+        e_recall_at_k,
+        f1_score_clusters,
+        mean_average_precision,
+    )
+
+    # e_recall@k: q0 hits at rank1, q1 at rank2, q2 never
+    top_labels = np.array([[1, 0, 0], [0, 2, 0], [0, 1, 0]])
+    q_labels = np.array([1, 2, 3])
+    assert e_recall_at_k(top_labels, q_labels, 1) == 1.0 / 3
+    assert e_recall_at_k(top_labels, q_labels, 2) == 2.0 / 3
+    assert e_recall_at_k(top_labels, q_labels, 3) == 2.0 / 3
+
+    # pairwise F1: labels {0,0,1,1}, clusters {0,1,1,1}
+    # co-class pairs: (0,1),(2,3) -> 2 ; co-cluster pairs: (1,2),(1,3),(2,3) -> 3
+    # tp (both): (2,3) -> 1 ; precision 1/3, recall 1/2, F1 = 2*(1/6)/(5/6)=0.4
+    f1 = f1_score_clusters(np.array([0, 1, 1, 1]), np.array([0, 0, 1, 1]))
+    assert abs(f1 - 0.4) < 1e-12
+
+    # mAP_c: q0 has n_pos=2, hits at ranks 1 and 3 (rank3 > cap=2 -> dropped)
+    # AP = (1/1) / 1 = 1.0 ; q1 n_pos=1, hit at rank 2 > cap=1 -> AP = 0
+    tl = np.array([[5, 0, 5], [0, 7, 0]])
+    ql = np.array([5, 7])
+    n_pos = np.array([2, 1])
+    mapc = mean_average_precision(tl, ql, n_pos, mode="c")
+    assert abs(mapc - 0.5) < 1e-12
+
+    # dist_stats on colinear points: labels {0,0,1} at x=0,1,3
+    emb = np.array([[0.0], [1.0], [3.0]], np.float32)
+    labs = np.array([0, 0, 1])
+    ds = dist_stats(emb, labs)
+    assert abs(ds["dists@intra"] - 1.0) < 1e-5          # |0-1|
+    assert abs(ds["dists@inter"] - 2.5) < 1e-5          # (|0-3|+|1-3|)/2
+    assert abs(ds["dists@intra_over_inter"] - 0.4) < 1e-5
