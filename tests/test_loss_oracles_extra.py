@@ -399,3 +399,83 @@ def test_supcon_two_views_matches_torch():
     mean_lpp = (mask * log_prob).sum(1) / (mask.sum(1) + 1e-8)
     ref = float((-(temp / temp) * mean_lpp).view(V, B).mean())
     assert abs(ours - ref) < 1e-5
+
+
+def test_xbm_triplet_matches_torch_loop():
+    """XBM triplet loss (reference training_tools/loss.py:221-300): given the
+    same per-query positive/negative memory sets, the mask-based device loss
+    equals the reference's per-query sort/select loop."""
+    from vit_reranking_tpu.losses.msls import xbm_triplet_loss
+
+    rng = np.random.default_rng(15)
+    n, m, d = 9, 24, 16
+    col = rng.standard_normal((n, d)).astype(np.float32)
+    row = rng.standard_normal((m, d)).astype(np.float32)
+    col /= np.linalg.norm(col, axis=1, keepdims=True)
+    row /= np.linalg.norm(row, axis=1, keepdims=True)
+    query_rows = np.array([0, 3, 6])
+    pos_mask = rng.random((3, m)) < 0.15
+    neg_mask = (rng.random((3, m)) < 0.5) & ~pos_mask
+    pos_mask[1] = False  # query with no positive contributes nothing
+    neg_mask[:, :2] = True  # ensure every query has negatives
+    pos_mask[:, :2] = False
+    pos_mask[0, 5] = pos_mask[2, 7] = True
+
+    ours = float(xbm_triplet_loss(
+        jnp.asarray(col), jnp.asarray(row), jnp.asarray(query_rows),
+        jnp.asarray(pos_mask), jnp.asarray(neg_mask), margin=0.1,
+    ))
+
+    ct, rt = torch.tensor(col), torch.tensor(row)
+    sim = ct @ rt.T
+    loss = 0.0
+    for i, q in enumerate(query_rows):
+        pos_idx = np.where(pos_mask[i])[0]
+        if len(pos_idx) == 0:
+            continue
+        pos_pair_ = torch.sort(sim[q, pos_idx])[0]
+        neg_pair_ = torch.sort(sim[q, np.where(neg_mask[i])[0]])[0]
+        pos_pair = pos_pair_[pos_pair_ < neg_pair_[-1] + 0.1]
+        neg_pair = neg_pair_[neg_pair_ > max(0.4, float(pos_pair_[-1])) - 0.1]
+        pos_loss = torch.sum(1 - pos_pair) / len(pos_pair) if len(pos_pair) else 0.0
+        neg_loss = torch.sum(neg_pair) / len(neg_pair) if len(neg_pair) else 0.0
+        loss += pos_loss + neg_loss
+    ref = float(loss / len(query_rows))
+    assert abs(ours - ref) < 1e-5
+
+
+def test_ada_xbm_triplet_matches_torch_loop():
+    """Adaptive XBM triplet (reference loss.py:303-394): every violating
+    memory negative adds TripletMarginLoss(margin=sqrt(0.1), p=2), summed and
+    normalized by the total violation count."""
+    from vit_reranking_tpu.losses.msls import ada_xbm_triplet_loss
+
+    rng = np.random.default_rng(16)
+    n, m, d = 6, 20, 16
+    col = rng.standard_normal((n, d)).astype(np.float32)
+    row = rng.standard_normal((m, d)).astype(np.float32)
+    col /= np.linalg.norm(col, axis=1, keepdims=True)
+    row /= np.linalg.norm(row, axis=1, keepdims=True)
+    query_rows = np.array([0, 1, 2])
+    pos_rows = np.array([3, 5, 7])
+    neg_mask = rng.random((3, m)) < 0.6
+    neg_mask[np.arange(3), pos_rows] = False
+
+    ours = float(ada_xbm_triplet_loss(
+        jnp.asarray(col), jnp.asarray(row), jnp.asarray(query_rows),
+        jnp.asarray(pos_rows), jnp.asarray(neg_mask), margin=0.1,
+    ))
+
+    ct, rt = torch.tensor(col), torch.tensor(row)
+    sim = ct @ rt.T
+    crit = torch.nn.TripletMarginLoss(margin=0.1 ** 0.5, p=2, reduction="sum")
+    loss, neg_count = 0.0, 0
+    for i, q in enumerate(query_rows):
+        pos_sim = sim[q, pos_rows[i]]
+        neg_idx = np.where(neg_mask[i])[0]
+        viol = neg_idx[np.asarray(sim[q, neg_idx] > pos_sim - 0.1)]
+        neg_count += len(viol)
+        for nn_ in viol:
+            loss += crit(ct[q][None], rt[pos_rows[i]][None], rt[nn_][None])
+    ref = float(loss / neg_count) if neg_count else 0.0
+    assert abs(ours - ref) < 1e-4
