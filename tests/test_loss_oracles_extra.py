@@ -479,3 +479,66 @@ def test_ada_xbm_triplet_matches_torch_loop():
             loss += crit(ct[q][None], rt[pos_rows[i]][None], rt[nn_][None])
     ref = float(loss / neg_count) if neg_count else 0.0
     assert abs(ours - ref) < 1e-4
+
+
+def test_quadruplet_matches_torch(monkeypatch):
+    """Quadruplet loss (reference criteria/quadruplet.py:27-46) with the random
+    fourth element pinned, vs the reference's two-hinge formula."""
+    import vit_reranking_tpu.losses.quadruplet as quad_mod
+
+    emb, labels = make_batch(seed=17)
+    trips = fixed_triplets(labels)
+    B = len(labels)
+    # pin the fourth draw: first valid index per row of the diff-negative mask
+    fourth = np.zeros(B, np.int64)
+    negs = np.array([n for _, _, n in trips])
+    for i in range(B):
+        fourth[i] = np.where(negs != negs[i])[0][0]
+    monkeypatch.setattr(
+        quad_mod, "uniform_choice", lambda key, mask: jnp.asarray(fourth)
+    )
+
+    crit, _ = losses.select(
+        "quadruplet",
+        make_opt(loss_quadruplet_margin_alpha_1=0.2, loss_quadruplet_margin_alpha_2=0.2),
+        FixedTripletMiner(trips),
+    )
+    ours = float(crit({}, jnp.asarray(emb), jnp.asarray(labels), key=jax.random.PRNGKey(0)))
+
+    e = torch.tensor(emb)
+    a, p, n = zip(*trips)
+    a, p, n = e[list(a)], e[list(p)], e[list(n)]
+    f = e[list(fourth)]
+    tl = F.relu(torch.norm(a - p, p=2, dim=-1) - torch.norm(a - n, p=2, dim=-1) + 0.2)
+    ql = F.relu(torch.norm(a - p, p=2, dim=-1) - torch.norm(n - f, p=2, dim=-1) + 0.2)
+    ref = float(torch.mean(tl) + torch.mean(ql))
+    assert abs(ours - ref) < 1e-5
+
+
+def test_adversarial_separation_matches_torch():
+    """DiVA decorrelation value (reference adversarial_separation.py:52-60)
+    with pinned regressor weights (forward value; the gradient-reversal
+    behavior is covered in test_losses_miners.py)."""
+    rng = np.random.default_rng(18)
+    C, P, B = 8, 16, 10
+    f1 = rng.standard_normal((B, C)).astype(np.float32)
+    f2 = rng.standard_normal((B, C)).astype(np.float32)
+    w1 = rng.standard_normal((C, P)).astype(np.float32) * 0.3
+    b1 = rng.standard_normal((P,)).astype(np.float32) * 0.1
+    w2 = rng.standard_normal((P, C)).astype(np.float32) * 0.3
+    b2 = rng.standard_normal((C,)).astype(np.float32) * 0.1
+
+    crit, _ = losses.select(
+        "adversarial_separation",
+        make_opt(diva_decorrnet_dim=P, diva_decorrelations=["embed1-embed2"],
+                 diva_rho_decorrelation=[1.5], diva_decorrnet_lr=1e-4),
+    )
+    params = {"embed1-embed2": {"w1": jnp.asarray(w1), "b1": jnp.asarray(b1),
+                                "w2": jnp.asarray(w2), "b2": jnp.asarray(b2)}}
+    ours = float(crit(params, {"embed1": jnp.asarray(f1), "embed2": jnp.asarray(f2)}))
+
+    s = F.normalize(torch.tensor(f1), dim=-1)
+    t = F.normalize(torch.tensor(f2), dim=-1)
+    proj = torch.relu(s @ torch.tensor(w1) + torch.tensor(b1)) @ torch.tensor(w2) + torch.tensor(b2)
+    ref = float(-1.5 * torch.mean(torch.mean((t * F.normalize(proj, dim=-1)) ** 2, dim=-1)))
+    assert abs(ours - ref) < 1e-6
