@@ -542,3 +542,78 @@ def test_adversarial_separation_matches_torch():
     proj = torch.relu(s @ torch.tensor(w1) + torch.tensor(b1)) @ torch.tensor(w2) + torch.tensor(b2)
     ref = float(-1.5 * torch.mean(torch.mean((t * F.normalize(proj, dim=-1)) ** 2, dim=-1)))
     assert abs(ours - ref) < 1e-6
+
+
+def _torch_pair_wise_wdist(x, y, x_mean=None, y_mean=None, is_positive=True,
+                           use_uniform=False, use_inverse=False, eps=0.05,
+                           max_iter=100):
+    """Transcription of reference criteria/margin_diml.py:69-125 (x, y are
+    (B, C, R) torch tensors)."""
+    B, C, R = x.shape
+    if x_mean is None and y_mean is None:
+        x_mean, y_mean = x.mean(2), y.mean(2)
+    x, y = F.normalize(x, dim=1), F.normalize(y, dim=1)
+    x_mean, y_mean = F.normalize(x_mean, dim=1), F.normalize(y_mean, dim=1)
+    dist1 = torch.sqrt(((x[:, :, :, None] - y[:, :, None, :]) ** 2).sum(1) + 1e-6)
+    dist2 = torch.sqrt(((x_mean - y_mean) ** 2).sum(1) + 1e-6)
+    sim = torch.einsum("bcs,bcm->bsm", x, y)
+    if use_uniform:
+        u = torch.full((B, R), 1.0 / R)
+        v = torch.full((B, R), 1.0 / R)
+    else:
+        att = F.relu(torch.einsum("nc,ncr->nr", x_mean, y))
+        att = 1 - att if use_inverse else att
+        u = att / (att.sum(1, keepdims=True) + 1e-5)
+        att = F.relu(torch.einsum("nc,ncr->nr", y_mean, x))
+        att = 1 - att if use_inverse else att
+        v = att / (att.sum(1, keepdims=True) + 1e-5)
+    wdist = 1.0 - sim
+    if is_positive:
+        with torch.no_grad():
+            K = torch.exp(-wdist / eps)
+            r, c = torch.ones_like(v), torch.ones_like(u)
+            for _ in range(max_iter):
+                r0 = r
+                r = v / (K @ c.unsqueeze(-1)).squeeze(-1)
+                c = u / (K.permute(0, 2, 1) @ r.unsqueeze(-1)).squeeze(-1)
+                if (r - r0).abs().mean().item() < 1e-1:
+                    break
+            T = r.unsqueeze(-1) * K * c.unsqueeze(-2)
+    else:
+        T = torch.ones_like(wdist)
+    return (torch.sum(T * dist1, dim=(1, 2)) + dist2) / 2
+
+
+def test_pair_wise_wdist_matches_torch():
+    """Training-loss OT distance parity across marginal variants and the
+    negative (T=ones) path."""
+    from vit_reranking_tpu.losses.diml_ot import pair_wise_wdist
+
+    rng = np.random.default_rng(19)
+    B, C, R = 6, 16, 9
+    x = rng.standard_normal((B, C, R)).astype(np.float32)
+    y = rng.standard_normal((B, C, R)).astype(np.float32)
+    xm = rng.standard_normal((B, C)).astype(np.float32)
+    ym = rng.standard_normal((B, C)).astype(np.float32)
+    xt, yt = torch.tensor(x), torch.tensor(y)
+    xmt, ymt = torch.tensor(xm), torch.tensor(ym)
+
+    cases = [
+        dict(is_positive=True, use_uniform=True),
+        dict(is_positive=True, use_uniform=False),  # pooled-mean cross attention
+        dict(is_positive=False, use_uniform=True),
+    ]
+    for kw in cases:
+        ours = np.asarray(pair_wise_wdist(jnp.asarray(x), jnp.asarray(y), **kw))
+        ref = _torch_pair_wise_wdist(xt, yt, **kw).numpy()
+        np.testing.assert_allclose(ours, ref, atol=2e-4, err_msg=str(kw))
+
+    # explicit cls-token marginals + use_inverse (the --use_cls_token path)
+    ours = np.asarray(pair_wise_wdist(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(xm), jnp.asarray(ym),
+        is_positive=True, use_inverse=True,
+    ))
+    ref = _torch_pair_wise_wdist(
+        xt, yt, xmt, ymt, is_positive=True, use_inverse=True
+    ).numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
