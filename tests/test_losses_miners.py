@@ -243,3 +243,44 @@ def test_adversarial_separation_reverses_grads():
     )(f1)
     assert np.isfinite(float(loss))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_semihard_picks_the_unique_violator():
+    """With exactly one semi-hard negative per anchor (reference
+    semihard.py:27-33 window d_ap < d_an < d_ap + margin), the miner must
+    select it; anchors with no violator fall back to any negative."""
+    emb = jnp.asarray(np.array([[0.0], [0.1], [0.25], [1.0]], np.float32))
+    labels = jnp.asarray(np.array([0, 0, 1, 1]))
+    m = miners.select("semihard", make_opt(loss="triplet", loss_triplet_margin=0.2))
+    for seed in range(8):
+        t = m(jax.random.PRNGKey(seed), emb, labels)
+        n = np.asarray(t.negative)
+        assert n[0] == 2  # d_ap=0.1, only d(0,2)=0.25 in (0.1, 0.3)
+        assert n[1] == 2  # d_ap=0.1, only d(1,2)=0.15 in (0.1, 0.3)
+        assert n[2] in (0, 1)  # no semihard in (0.75, 0.95) -> any negative
+        assert n[3] == 1  # d_ap=0.75, only d(3,1)=0.9 in (0.75, 0.95)
+
+
+def test_inverse_sphere_log_q_exact_all_anchors():
+    """softmax(inverse_sphere_log_q) equals the reference q_d_inv
+    (batchminer/distance.py:51-66) exactly for every anchor, including the
+    quirk that zeroed same-class entries participate in the max."""
+    from vit_reranking_tpu.miners.common import inverse_sphere_log_q, pdist
+
+    rng = np.random.default_rng(2)
+    emb, labels = make_batch(rng, B=10, n_classes=3)
+    lab = np.asarray(labels)
+    d = np.maximum(np.asarray(pdist(emb)), 0.5)
+    same = lab[:, None] == lab[None, :]
+    ours = np.asarray(jax.nn.softmax(
+        inverse_sphere_log_q(jnp.asarray(d), jnp.asarray(same), dim=128), axis=-1
+    ))
+    dim = 128
+    for i in range(10):
+        di = torch.tensor(d[i])
+        log_q = (2.0 - dim) * torch.log(di) - ((dim - 3) / 2) * torch.log(1 - 0.25 * di**2)
+        log_q[lab == lab[i]] = 0
+        q = torch.exp(log_q - log_q.max())
+        q[lab == lab[i]] = 0
+        q = (q / q.sum()).numpy()
+        np.testing.assert_allclose(ours[i], q, atol=1e-6)
