@@ -284,3 +284,21 @@ def test_inverse_sphere_log_q_exact_all_anchors():
         q[lab == lab[i]] = 0
         q = (q / q.sum()).numpy()
         np.testing.assert_allclose(ours[i], q, atol=1e-6)
+
+
+def test_softhard_masks_match_reference_window():
+    """Crafted 1-D batch where the softhard masks (reference
+    softhard.py:27-33: neg with d < max pos-dist, pos with d > min neg-dist)
+    are singletons -> the draw is forced."""
+    emb = jnp.asarray(np.array([[0.0], [0.1], [0.6], [0.3], [2.0]], np.float32))
+    labels = jnp.asarray(np.array([0, 0, 0, 1, 1]))
+    m = miners.select("softhard", make_opt())
+    for seed in range(6):
+        t = m(jax.random.PRNGKey(seed), emb, labels)
+        p, n = np.asarray(t.positive), np.asarray(t.negative)
+        # anchor 0: hard positives {2} (0.6 > min_neg 0.3), hard negatives {3}
+        assert p[0] == 2 and n[0] == 3
+        # anchor 4: hard positives {3} (1.7 > min_neg 1.4), hard negatives {2}
+        assert p[4] == 3 and n[4] == 2
+        # anchor 3: unique positive 4; all negatives are hard
+        assert p[3] == 4 and n[3] in (0, 1, 2)
