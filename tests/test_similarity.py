@@ -206,3 +206,83 @@ def test_calc_distance_stage1_finite_and_shape():
     )
     assert d.shape == (4,)
     assert np.all(np.isfinite(np.asarray(d)))
+
+
+def test_calc_distance_stage1_matches_torch_oracle():
+    """OT-weighted L2 distance (reference diml.py:149-203): 'cm,ncs->nms'
+    orientation, Sinkhorn(K, v, u) order, exp/relu/uniform marginal variants.
+    Full trip count on both sides so only the math is under test."""
+    rng = np.random.default_rng(21)
+    N, C, R = 5, 16, 9
+    anchor = rng.standard_normal((C, R)).astype(np.float32)
+    fb = rng.standard_normal((N, C, R)).astype(np.float32)
+    ac = rng.standard_normal((C,)).astype(np.float32)
+    fc = rng.standard_normal((N, C)).astype(np.float32)
+
+    def torch_oracle(use_uniform, use_exp, use_cls_token, temperature=1.0):
+        a = torch.tensor(anchor); f = torch.tensor(fb)
+        a_c = torch.tensor(ac); f_c = torch.tensor(fc)
+        if not use_cls_token:
+            a_c, f_c = a.mean(-1), f.mean(-1)
+        a_c, f_c = F.normalize(a_c, dim=-1), F.normalize(f_c, dim=-1)
+        a, f = F.normalize(a, dim=0), F.normalize(f, dim=1)
+        sim = torch.einsum("cm,ncs->nms", a, f)
+        d1 = torch.sqrt(((a[None, :, :, None] - f[:, :, None, :]) ** 2).sum(1) + 1e-6)
+        K = torch.exp(-(1.0 - sim) / 0.05)
+        if use_uniform:
+            u = torch.full((N, R), 1.0 / R); v = torch.full((N, R), 1.0 / R)
+        else:
+            att = F.relu(torch.einsum("c,ncr->nr", a_c, f))
+            att = torch.exp(-att / temperature) if use_exp else att
+            u = att / (att.sum(1, keepdims=True) + 1e-5)
+            att = F.relu(torch.einsum("cr,nc->nr", a, f_c))
+            att = torch.exp(-att / temperature) if use_exp else att
+            v = att / (att.sum(1, keepdims=True) + 1e-5)
+        T = torch_sinkhorn(K, v, u, thresh=0.0)
+        return torch.sum(T * d1, dim=(1, 2)).numpy()
+
+    for kw in (dict(use_uniform=True, use_exp=True, use_cls_token=False),
+               dict(use_uniform=False, use_exp=True, use_cls_token=False),
+               dict(use_uniform=False, use_exp=False, use_cls_token=False),
+               dict(use_uniform=False, use_exp=True, use_cls_token=True)):
+        ours, _ = calc_distance(
+            jnp.asarray(anchor), jnp.asarray(ac), jnp.asarray(fb),
+            jnp.asarray(fc), stage=1, thresh=0.0, **kw,
+        )
+        np.testing.assert_allclose(np.asarray(ours), torch_oracle(**kw),
+                                   atol=2e-4, err_msg=str(kw))
+
+
+def test_mhvit_matches_torch_per_head_loop():
+    """Per-head OT with max-over-heads (reference diml.py:424-472): the
+    batched N*heads Sinkhorn equals the reference's per-head Python loop at
+    full trip count."""
+    rng = np.random.default_rng(22)
+    nhead, ndim, R, N = 4, 8, 9, 5
+    C = nhead * ndim
+    a_feat = rng.standard_normal((C, R + 1)).astype(np.float32)
+    f_feat = rng.standard_normal((N, C, R + 1)).astype(np.float32)
+    a_feat /= np.linalg.norm(a_feat, axis=0, keepdims=True)
+    f_feat /= np.linalg.norm(f_feat, axis=1, keepdims=True)
+
+    ours, _ = calc_similarity_mhvit(
+        jnp.asarray(a_feat), jnp.asarray(f_feat), stage=1, nhead=nhead, thresh=0.0
+    )
+
+    at, ft = torch.tensor(a_feat), torch.tensor(f_feat)
+    a_c, f_c = at[:, 0], ft[:, :, 0]
+    a, f = at[:, 1:], ft[:, :, 1:]
+    a = a.reshape(nhead, ndim, R); f = f.reshape(N, nhead, ndim, R)
+    a_c = a_c.reshape(nhead, ndim); f_c = f_c.reshape(N, nhead, ndim)
+    sim = torch.einsum("hdm,nhds->nhsm", a, f)
+    K = torch.exp(-(1 - sim) / 0.05)
+    att = F.relu(torch.einsum("hd,nhdr->nhr", a_c, f))
+    u = att / (att.sum(2, keepdims=True) + 1e-5)
+    att = F.relu(torch.einsum("hdr,nhd->nhr", a, f_c))
+    v = att / (att.sum(2, keepdims=True) + 1e-5)
+    per_head = []
+    for h in range(nhead):
+        T = torch_sinkhorn(K[:, h], u[:, h], v[:, h], thresh=0.0)
+        per_head.append(T * sim[:, h])
+    ref = torch.stack(per_head).max(0).values.sum(dim=(1, 2)).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4)
