@@ -286,3 +286,42 @@ def test_mhvit_matches_torch_per_head_loop():
         per_head.append(T * sim[:, h])
     ref = torch.stack(per_head).max(0).values.sum(dim=(1, 2)).numpy()
     np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4)
+
+
+def test_featvit_stage1_matches_torch_oracle():
+    """featvit OT similarity (reference diml.py:368-422): default
+    cross-attention, use_self, and uniform marginals."""
+    rng = np.random.default_rng(23)
+    n, c, R = 6, 12, 9
+    a = rng.standard_normal((c, R + 1)).astype(np.float32)
+    a /= np.linalg.norm(a, axis=0, keepdims=True)
+    f = rng.standard_normal((n, c, R + 1)).astype(np.float32)
+    f /= np.linalg.norm(f, axis=1, keepdims=True)
+    at, ft = torch.tensor(a), torch.tensor(f)
+
+    def torch_oracle(use_uniform=False, use_self=False):
+        a_c, f_c = at[:, 0], ft[:, :, 0]
+        an, fb = at[:, 1:], ft[:, :, 1:]
+        sim = torch.einsum("cm,ncs->nsm", an, fb)
+        K = torch.exp(-(1 - sim) / 0.05)
+        if use_uniform:
+            u = torch.full((n, R), 1.0 / R); v = torch.full((n, R), 1.0 / R)
+        elif use_self:
+            u = F.relu(torch.einsum("nc,ncr->nr", f_c, fb))
+            u = u / (u.sum(1, keepdims=True) + 1e-5)
+            v = F.relu(torch.einsum("c,cr->r", a_c, an)).view(1, R)
+            v = (v / (v.sum(1, keepdims=True) + 1e-5)).expand(n, -1)
+        else:
+            u = F.relu(torch.einsum("c,ncr->nr", a_c, fb))
+            u = u / (u.sum(1, keepdims=True) + 1e-5)
+            v = F.relu(torch.einsum("cr,nc->nr", an, f_c))
+            v = v / (v.sum(1, keepdims=True) + 1e-5)
+        T = torch_sinkhorn(K, u, v, thresh=0.0)
+        return torch.sum(T * sim, dim=(1, 2)).numpy()
+
+    for kw in (dict(), dict(use_uniform=True), dict(use_self=True)):
+        ours, _ = calc_similarity_featvit(
+            jnp.asarray(a), jnp.asarray(f), stage=1, thresh=0.0, **kw
+        )
+        np.testing.assert_allclose(np.asarray(ours), torch_oracle(**kw),
+                                   atol=2e-4, err_msg=str(kw))
