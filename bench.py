@@ -35,7 +35,7 @@ def make_problem(rng):
     return fb, centers, rollout
 
 
-def bench_tpu(fb, centers, rollout, top_inds):
+def bench_tpu(fb, centers, rollout, top_inds, ot_part=1.0):
     import jax
     import jax.numpy as jnp
     from vit_reranking_tpu.ops.rerank_pallas import fused_rollout_rerank_scores
@@ -47,7 +47,7 @@ def bench_tpu(fb, centers, rollout, top_inds):
     interpret = jax.default_backend() != "tpu"
 
     fn = lambda: fused_rollout_rerank_scores(
-        fb_j, c_j, r_j, inds, query_tile=256, interpret=interpret
+        fb_j, c_j, r_j, inds, query_tile=256, ot_part=ot_part, interpret=interpret
     )
     # NOTE: under the axon remote runtime block_until_ready() can return
     # before execution completes — force a host transfer to time honestly
@@ -60,7 +60,7 @@ def bench_tpu(fb, centers, rollout, top_inds):
     return Q * K / dt
 
 
-def bench_reference_torch(fb, centers, rollout, top_inds, n_queries=32):
+def bench_reference_torch(fb, centers, rollout, top_inds, n_queries=32, ot_part=1.0):
     """Run the reference's own calc_similarity_cvt_rollout per-query loop."""
     if not os.path.isdir(REFERENCE):
         return None
@@ -84,7 +84,7 @@ def bench_reference_torch(fb, centers, rollout, top_inds, n_queries=32):
             idx = torch.tensor(top_inds[i])
             ref.calc_similarity_cvt_rollout(
                 c_t[i], fb_t[i], r_t[i], c_t[idx], fb_t[idx], r_t[idx],
-                stage=1, use_ot=True, ot_part=1.0, device=dev,
+                stage=1, use_ot=True, ot_part=ot_part, device=dev,
             )
 
         one(0)  # warm up
@@ -98,22 +98,33 @@ def bench_reference_torch(fb, centers, rollout, top_inds, n_queries=32):
 
 
 def main():
+    # default = the flagship full-OT protocol (ONE JSON line, driver
+    # contract); --variant partial benches the ot_part=0.5 dustbin path
+    # (reference scripts sweep --ot_part 0.5/0.8, scripts/diml/*.sh)
+    ot_part = 0.5 if "--variant=partial" in sys.argv or "partial" in sys.argv[1:] else 1.0
+
     rng = np.random.default_rng(0)
     fb, centers, rollout = make_problem(rng)
     sims = centers @ centers.T
     np.fill_diagonal(sims, -100.0)
     top_inds = np.argsort(-sims, axis=1)[:, :K].astype(np.int32)
 
-    pps = bench_tpu(fb, centers, rollout, top_inds)
-    base = bench_reference_torch(fb, centers, rollout, top_inds)
+    pps = bench_tpu(fb, centers, rollout, top_inds, ot_part=ot_part)
+    base = bench_reference_torch(fb, centers, rollout, top_inds, ot_part=ot_part)
     if base is None:
         base = FALLBACK_BASELINE_PPS
+    kind = "full OT" if ot_part == 1.0 else f"partial OT {ot_part}"
+    metric = (
+        "ot_rerank_pairs_per_sec"
+        if ot_part == 1.0
+        else "ot_rerank_partial_pairs_per_sec"
+    )
     print(
         json.dumps(
             {
-                "metric": "ot_rerank_pairs_per_sec",
+                "metric": metric,
                 "value": round(pps, 1),
-                "unit": "query-gallery pairs/sec (K=100, R=49, C=128, full OT, 100 it)",
+                "unit": f"query-gallery pairs/sec (K=100, R=49, C=128, {kind}, 100 it)",
                 "vs_baseline": round(pps / base, 2),
             }
         )

@@ -89,3 +89,82 @@ def test_rerank_evaluate_fused_vs_xla_metrics():
     res_xla = rerank_evaluate(fb, centers, labels, use_fused=False, **kw)
     for m in ("r1", "rp", "mapr"):
         assert abs(res_fused[m][8] - res_xla[m][8]) < 0.5, (m, res_fused[m], res_xla[m])
+
+
+@pytest.mark.parametrize("ot_part", [0.5, 0.8])
+def test_fused_partial_ot_matches_xla_rollout(problem, ot_part):
+    """Partial OT now rides the fused kernel via the group-exit mode: one
+    query's candidates per grid step, batch-mean Sinkhorn exit exactly like
+    the reference (diml.py:50-52, dustbin construction diml.py:56-75)."""
+    fb, centers, roll, top = problem
+    Q = fb.shape[0]
+
+    def one(i):
+        s, _ = calc_similarity_rollout(
+            centers[i], fb[i], roll[i], centers[top[i]], fb[top[i]], roll[top[i]],
+            stage=1, ot_part=ot_part,
+        )
+        return s
+
+    ref = jax.vmap(one)(jnp.arange(Q))
+    out = fused_rollout_rerank_scores(
+        fb, centers, roll, top, query_tile=16, ot_part=ot_part, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+    # exact rank agreement within each query's candidate list
+    assert (
+        np.argsort(-np.asarray(out), axis=1) == np.argsort(-np.asarray(ref), axis=1)
+    ).all()
+
+
+@pytest.mark.parametrize("ot_part", [0.5, 0.8])
+def test_fused_partial_ot_matches_xla_featvit(problem, ot_part):
+    fb, centers, roll, top = problem
+    Q = fb.shape[0]
+
+    def one(i):
+        s, _ = calc_similarity(
+            fb[i], centers[i], fb[top[i]], centers[top[i]], stage=1,
+            use_cls_token=True, use_uniform=True, ot_part=ot_part,
+        )
+        return s
+
+    ref = jax.vmap(one)(jnp.arange(Q))
+    out = fused_featvit_rerank_scores(
+        fb, centers, top, query_tile=16, use_cls_token=True, use_uniform=True,
+        ot_part=ot_part, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+    assert (
+        np.argsort(-np.asarray(out), axis=1) == np.argsort(-np.asarray(ref), axis=1)
+    ).all()
+
+
+def test_rerank_evaluate_auto_fuses_partial_ot():
+    """Engine auto-dispatch: ot_part < 1 with K <= 128 lanes must take the
+    fused path and agree with the XLA path on metrics."""
+    from vit_reranking_tpu.engine.rerank_eval import rerank_evaluate
+
+    rng = np.random.default_rng(3)
+    N, C, R, ncls = 96, 16, 49, 6
+    protos = rng.standard_normal((ncls, C)).astype(np.float32)
+    labels = np.repeat(np.arange(ncls), N // ncls)
+    fb = protos[labels][:, :, None] + 0.8 * rng.standard_normal((N, C, R)).astype(
+        np.float32
+    )
+    fb /= np.linalg.norm(fb, axis=1, keepdims=True)
+    centers = fb.mean(-1)
+    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+    fb, centers, labels = jnp.asarray(fb), jnp.asarray(centers), jnp.asarray(labels)
+
+    kw = dict(
+        trunc_nums=(0, 8), method="featvit",
+        flags=dict(use_uniform=True, use_cls_token=True, ot_part=0.8),
+        query_block=32,
+    )
+    res_fused = rerank_evaluate(fb, centers, labels, **kw)  # auto: fused
+    res_xla = rerank_evaluate(fb, centers, labels, use_fused=False, **kw)
+    for m in ("r1", "rp", "mapr"):
+        assert abs(res_fused[m][8] - res_xla[m][8]) < 1e-6, (
+            m, res_fused[m], res_xla[m],
+        )

@@ -116,18 +116,19 @@ def rerank_evaluate(
         top_vals = vals[:, :K]
 
         ot_part = float(flags.get("ot_part", 1.0))
-        # The fused Pallas path supports full AND partial (dustbin) OT, but
-        # its per-pair early-exit freeze only provably matches the reference's
-        # per-query batch-mean exit when the plan converges within a few
-        # iterations — true for full OT (verified: 100% rank agreement), not
-        # for the slower-converging partial OT.  Auto-dispatch therefore fuses
-        # full OT only; pass use_fused=True to opt partial OT into the kernel.
+        # The fused Pallas path covers full AND partial (dustbin) OT.  Full OT
+        # packs pairs densely with a per-pair early-exit freeze (verified
+        # rank-identical to the reference's batch exit); partial OT uses the
+        # kernel's group-exit mode — one query's K candidates per grid step,
+        # batch-mean residual exit exactly like the reference
+        # (utilities/diml.py:50-52) — which needs K to fit the 128 pair lanes.
+        from ..ops.rerank_pallas import PAIR_LANES
+
         if use_fused is None:
-            use_fused = (
-                ot_part > 0.999
-                and flags.get("use_ot", True)
-                and method in ("rollout", "featvit")
-            )
+            use_fused = flags.get("use_ot", True) and method in (
+                "rollout",
+                "featvit",
+            ) and (ot_part > 0.999 or K <= PAIR_LANES)
         interpret = jax.default_backend() != "tpu"
 
         if use_fused:
