@@ -157,3 +157,86 @@ def test_netvlad_cluster_init():
                                  n_descriptors=200, per_image=16)
     assert init["centroids"].shape == (4, 16)
     assert init["conv_kernel"].shape == (16, 4)
+
+
+# ---- sequence tasks (im2seq/seq2im/seq2seq, reference msls.py:126-133) ----
+
+
+@pytest.fixture(scope="module")
+def msls_seq():
+    return SyntheticMSLS(
+        n_queries=24, n_db=48, nNeg=2, image_size=32, seed=0,
+        task="seq2seq", seq_length=3,
+    )
+
+
+def test_seq_keys_and_loading(msls_seq):
+    assert msls_seq.seq_length_q == 3 and msls_seq.seq_length_db == 3
+    key = msls_seq.qImages[0]
+    assert key.count(",") == 2  # 3 comma-joined frames
+    arr = msls_seq.load_image_array(key)
+    assert arr.shape == (3, 32, 32, 3)
+    # center frame == the plain frame rendered at the query's own UTM
+    center = msls_seq.load_frame(key.split(",")[1])
+    np.testing.assert_array_equal(arr[1], center)
+
+
+def test_seq_getitem_and_collate(msls_seq):
+    msls_seq.new_epoch()
+    msls_seq.update_subcache(None)
+    items = [msls_seq[i] for i in range(4)]
+    q, p, negs, counts, idxs = SyntheticMSLS.collate_fn(items)
+    assert q.shape == (4, 3, 32, 32, 3)
+    assert p.shape == (4, 3, 32, 32, 3)
+    assert negs.shape == (4 * msls_seq.nNeg, 3, 32, 32, 3)
+
+
+def test_seq_mining_aggregates_frames(msls_seq):
+    msls_seq.new_epoch()
+    msls_seq.update_subcache(oracle_embed(msls_seq), outputdim=None)
+    assert len(msls_seq.triplets) > 0
+    for (trip, target) in msls_seq.triplets:
+        qidx, pidx, *negs = trip
+        qpos = np.where(msls_seq.qIdx == qidx)[0][0]
+        assert pidx in msls_seq.pIdx[qpos]
+        for n in negs:
+            assert n not in np.asarray(msls_seq.nonNegIdx[qpos])
+
+
+def test_seq_msls_val_recall(msls_seq):
+    emb = oracle_embed(msls_seq)
+
+    def extract(imgs):
+        assert imgs.ndim == 4  # the engine must only feed frame batches
+        return emb(imgs), None
+
+    recalls = msls_val(msls_seq, extract, trunc_nums=(0,), batch=8)
+    assert recalls["globalR_5"] > 0.5, recalls
+
+
+def test_seq_msls_val_with_rerank_center_frame(msls_seq):
+    emb = oracle_embed(msls_seq)
+
+    def extract(imgs):
+        c = emb(imgs)
+        d = np.repeat(c[:, :, None], 4, axis=2).astype(np.float32)
+        return c, d
+
+    recalls = msls_val(msls_seq, extract, trunc_nums=(0, 8), batch=8)
+    assert "dimlR_5" in recalls
+    assert 0.0 <= recalls["dimlR_5"] <= 1.0
+
+
+def test_train_msls_seq2seq_smoke():
+    """One tiny seq2seq epoch end-to-end through the CLI (verdict item 3)."""
+    import tempfile
+    from vit_reranking_tpu.cli.train_msls_baseline import main
+
+    with tempfile.TemporaryDirectory() as tmp:
+        r5 = main([
+            "--dataset", "synthetic", "--arch", "resnet50_normalize",
+            "--msls_task", "seq2seq", "--msls_seq_length", "3",
+            "--n_epochs", "1", "--embed_dim", "16", "--nNeg", "2",
+            "--save_path", tmp, "--evalevery", "1", "--group", "test", "--bs", "4",
+        ])
+        assert 0.0 <= r5 <= 1.0

@@ -76,6 +76,7 @@ def build_msls(opt: Config, mode: str):
             n_queries=48, n_db=96, nNeg=opt.nNeg, image_size=64,
             cached_queries=16, cached_negatives=48, margin=opt.margin,
             seed=opt.seed, mode=mode,
+            task=opt.msls_task, seq_length=opt.msls_seq_length,
         )
     return MSLS(
         opt.source_path,
@@ -83,9 +84,25 @@ def build_msls(opt: Config, mode: str):
         nNeg=opt.nNeg,
         transform=input_transform((opt.imageresizeh, opt.imageresizew)),
         mode=mode,
+        task=opt.msls_task, subtask=opt.msls_subtask,
+        seq_length=opt.msls_seq_length,
         cached_queries=1000, cached_negatives=1000,
         bs=opt.cachebatchsize, margin=opt.margin, seed=opt.seed,
     )
+
+
+def _flatten_frames(x):
+    """(..., L, H, W, 3) with any leading dims -> (N_frames, H, W, 3)."""
+    return x.reshape(-1, *x.shape[-3:])
+
+
+def _agg_frames(e, L):
+    """(B*L, D) frame embeddings -> (B, D) L2-normalized means (sequence
+    descriptor; single frames pass through)."""
+    if L == 1:
+        return e
+    e = e.reshape(-1, L, e.shape[-1]).mean(1)
+    return e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-12)
 
 
 def make_extract_fn(model, variables, batch: int, with_dense: bool, grid_size: int = 7):
@@ -150,16 +167,27 @@ def main(argv=None):
     def train_step(params, batch_stats, opt_state, q, p, negs, t_embed,
                    xbm_feats, xbm_pos, xbm_neg, xbm_on):
         def loss_fn(params):
-            images = jnp.concatenate([q, p, negs.reshape(-1, *negs.shape[2:])], 0)
+            # sequence tasks carry a frame axis: q (B, Lq, H, W, 3),
+            # p/negs (…, Ldb, H, W, 3); frames flatten into ONE forward
+            # (keeps the MXU batch large) and aggregate to per-sequence
+            # descriptors afterwards
+            nq = q.shape[0]
+            Lq = q.shape[1] if q.ndim == 5 else 1
+            Ldb = p.shape[1] if p.ndim == 5 else 1
+            images = jnp.concatenate(
+                [_flatten_frames(q), _flatten_frames(p), _flatten_frames(negs)], 0
+            )
             out, new_stats = model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 images, train=True, mutable=["batch_stats"],
                 rngs={"dropout": jax.random.PRNGKey(0), "droppath": jax.random.PRNGKey(0)},
             )
-            emb = out[0]
-            nq = q.shape[0]
-            eq, ep = emb[:nq], emb[nq : 2 * nq]
-            en = emb[2 * nq :].reshape(nq, -1, emb.shape[-1])
+            emb = out[0]  # frame-level (N_frames, D)
+            eq = _agg_frames(emb[: nq * Lq], Lq)
+            ep = _agg_frames(emb[nq * Lq : nq * (Lq + Ldb)], Ldb)
+            en_flat = _agg_frames(emb[nq * (Lq + Ldb) :], Ldb)
+            en = en_flat.reshape(nq, -1, emb.shape[-1])
+            emb_agg = jnp.concatenate([eq, ep, en_flat], 0)
             if opt.task_loss == "supcon":
                 # queries + their positives as two views of the same "class"
                 feats = jnp.stack([eq, ep], axis=1)
@@ -169,16 +197,17 @@ def main(argv=None):
             loss = opt.tl_weight * task
             if xbm_feats is not None:
                 xl = xbm_triplet_loss(
-                    emb, xbm_feats, jnp.arange(nq), xbm_pos, xbm_neg,
+                    emb_agg, xbm_feats, jnp.arange(nq), xbm_pos, xbm_neg,
                     margin=opt.margin,
                 )
                 loss = loss + opt.xbm_weight * xbm_on * xl
             if t_embed is not None:
+                # distill at frame level — teacher embeds the same frames
                 loss = loss + opt.kd_weight * smooth_l1(emb, t_embed)
                 if opt.distill == "rkd":
                     loss = loss + opt.rkd_distance_weight * rkd_distance(emb, t_embed)
                     loss = loss + opt.rkd_angle_weight * rkd_angle(emb, t_embed)
-            return loss, (new_stats, emb)
+            return loss, (new_stats, emb_agg)
 
         (loss, (new_stats, emb)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -210,7 +239,9 @@ def main(argv=None):
                 negs = jnp.asarray(np.stack([it[2] for it in items]))
                 t_embed = None
                 if teacher is not None:
-                    imgs = jnp.concatenate([q, p, negs.reshape(-1, *negs.shape[2:])], 0)
+                    imgs = jnp.concatenate(
+                        [_flatten_frames(q), _flatten_frames(p), _flatten_frames(negs)], 0
+                    )
                     t_embed = jax.lax.stop_gradient(
                         teacher.apply(teacher_vars, imgs, train=False)[0]
                     )

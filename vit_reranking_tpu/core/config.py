@@ -116,6 +116,12 @@ class Config:
     vis_freq: int = 1
     debug: bool = False
 
+    # ---- MSLS sequence tasks (training_tools/msls.py:76-133; the reference
+    # hardcodes im2im/seq_length=1 at its call sites — exposed here as flags)
+    msls_task: str = "im2im"
+    msls_seq_length: int = 1
+    msls_subtask: str = "all"
+
     # ---- NetVLAD (parameters.py:123-135)
     mini_data: bool = False
     vlad_ckpt: str = ""

@@ -52,7 +52,10 @@ class ImagesFromList:
         except Exception:
             imgs = [Image.open(self.images[0])]
         arrs = [self.transform(im) for im in imgs]
-        return (arrs[0] if len(arrs) == 1 else arrs), idx
+        # sequences stack to a fixed (L, H, W, C) frame axis — downstream
+        # flattens frames into the device batch (TPU-friendly static shapes;
+        # the reference returned a python list here, which cannot batch)
+        return (arrs[0] if len(arrs) == 1 else np.stack(arrs)), idx
 
 
 class MSLS:
@@ -104,6 +107,9 @@ class MSLS:
             seq_length_q, seq_length_db = seq_length, 1
         else:
             seq_length_q, seq_length_db = 1, seq_length
+        self.task = task
+        self.seq_length_q = seq_length_q
+        self.seq_length_db = seq_length_db
 
         for city in self.cities:
             subdir = "test" if city in default_cities["test"] else "train_val"
@@ -312,28 +318,71 @@ class MSLS:
             self.triplets.append(([qidx, pidx, *hardestNeg], [-1, 1] + [0] * len(hardestNeg)))
         self.current_subset += 1
 
-    def load_image_array(self, name: str) -> np.ndarray:
-        """Load + transform one image (first frame of a sequence key)."""
-        path = name.split(",")[0]
+    # ---- sequence-aware loading -------------------------------------------
+    # A comma-joined key names the L frames of a sequence (arange_as_seq);
+    # frames stack to a fixed (L, H, W, C) axis, get flattened into the
+    # device batch for the forward, and the sequence descriptor is the
+    # L2-normalized mean of the per-frame embeddings (the reference arranges
+    # sequences, training_tools/msls.py:126-133, but its own loaders cannot
+    # batch them — this is the working TPU-native design for im2seq/seq2im/
+    # seq2seq with center-frame semantics kept for positives/subtasks).
+
+    def load_frame(self, path: str) -> np.ndarray:
+        """Load + transform ONE frame. Subclasses override the storage."""
         return self.transform(Image.open(path))
 
+    def _load_key(self, key: str, transform=None) -> np.ndarray:
+        """Key -> (H, W, C) single frame or (L, H, W, C) stacked sequence."""
+        load = self.load_frame if transform is None else (
+            lambda p: transform(Image.open(p))
+        )
+        frames = [load(p) for p in key.split(",")]
+        return frames[0] if len(frames) == 1 else np.stack(frames)
+
+    def load_image_array(self, name: str) -> np.ndarray:
+        """Load + transform one key (full sequence when comma-joined)."""
+        return self._load_key(name)
+
+    @staticmethod
+    def aggregate_seq(frame_embs: np.ndarray, L: int, eps: float = 1e-12) -> np.ndarray:
+        """(B*L, D) per-frame embeddings -> (B, D) L2-normalized means."""
+        e = frame_embs.reshape(-1, L, frame_embs.shape[-1]).mean(1)
+        return e / (np.linalg.norm(e, axis=-1, keepdims=True) + eps)
+
     def _embed_paths(self, paths, embed_fn, batch=32):
-        ds = ImagesFromList(paths, self.transform)
+        """Embed keys (sequences aggregate over frames); embed_fn sees only
+        fixed (batch, H, W, 3) frame batches, so the jitted forward never
+        recompiles."""
         out = []
-        for s in range(0, len(ds), batch):
-            imgs = np.stack([ds[i][0] for i in range(s, min(s + batch, len(ds)))])
-            n = imgs.shape[0]
+        for s in range(0, len(paths), batch):
+            items = [self._load_key(p) for p in paths[s : s + batch]]
+            n = len(items)
+            arr = np.stack(items)
             if n < batch:
-                imgs = np.concatenate([imgs, np.zeros((batch - n, *imgs.shape[1:]), imgs.dtype)])
-            out.append(np.asarray(embed_fn(imgs))[:n])
+                arr = np.concatenate(
+                    [arr, np.zeros((batch - n, *arr.shape[1:]), arr.dtype)]
+                )
+            if arr.ndim == 5:  # (batch, L, H, W, 3) sequences
+                L = arr.shape[1]
+                flat = arr.reshape(batch * L, *arr.shape[2:])
+                embs = np.concatenate(
+                    [
+                        np.asarray(embed_fn(flat[i * batch : (i + 1) * batch]))
+                        for i in range(L)
+                    ],
+                    0,
+                )
+                out.append(self.aggregate_seq(embs, L)[:n])
+            else:
+                out.append(np.asarray(embed_fn(arr))[:n])
         return np.concatenate(out, 0)
 
     def __getitem__(self, idx):
         triplet, target = self.triplets[idx]
         qidx, pidx, nidx = triplet[0], triplet[1], triplet[2:]
-        query = self.transform(Image.open(self.qImages[qidx]))
-        positive = self.transform(Image.open(self.dbImages[pidx]))
-        negatives = np.stack([self.transform(Image.open(self.dbImages[i])) for i in nidx])
+        query = self._load_key(self.qImages[qidx])
+        positive = self._load_key(self.dbImages[pidx])
+        negatives = np.stack([self._load_key(self.dbImages[i]) for i in nidx])
         return query, positive, negatives, [qidx, pidx] + list(nidx)
 
     @staticmethod
@@ -353,11 +402,17 @@ class MSLS:
 
 class SyntheticMSLS(MSLS):
     """In-memory MSLS stand-in: procedural images on a grid of UTM positions.
-    Same attribute/method surface; used for tests and zero-egress smoke runs."""
+    Same attribute/method surface; used for tests and zero-egress smoke runs.
+
+    Sequence tasks are synthesized like the real arrangement: a key is a
+    comma-joined list of frame names, frames of one sequence render at small
+    UTM offsets around the center frame (center-frame semantics preserved)."""
 
     def __init__(self, n_queries=32, n_db=64, nNeg=2, image_size=64,
                  cached_queries=16, cached_negatives=32, margin=0.1, seed=0,
-                 mode="train"):
+                 mode="train", task="im2im", seq_length=1):
+        assert task in ("im2im", "im2seq", "seq2im", "seq2seq")
+        assert seq_length % 2 == 1
         self.nNeg = nNeg
         self.margin = margin
         self.cached_queries = cached_queries
@@ -367,6 +422,9 @@ class SyntheticMSLS(MSLS):
         self.threads = 1
         self.rng = np.random.default_rng(seed)
         self.image_size = image_size
+        self.task = task
+        self.seq_length_q = seq_length if task in ("seq2im", "seq2seq") else 1
+        self.seq_length_db = seq_length if task in ("im2seq", "seq2seq") else 1
 
         rng = np.random.default_rng(seed + 1)
         # db positions on a loose grid; queries near a random db point
@@ -378,10 +436,20 @@ class SyntheticMSLS(MSLS):
         pos = [np.where(d[i] <= 10)[0] for i in range(n_queries)]
         nonneg = [np.where(d[i] <= 25)[0] for i in range(n_queries)]
 
+        def seq_key(base, L):
+            if L == 1:
+                return base
+            half = L // 2
+            return ",".join(f"{base}@{k}" for k in range(-half, half + 1))
+
         keep = [i for i in range(n_queries) if len(pos[i]) > 0]
         self.qIdx = np.asarray(keep)
-        self.qImages = np.asarray([f"q{i}" for i in range(n_queries)])
-        self.dbImages = np.asarray([f"db{i}" for i in range(n_db)])
+        self.qImages = np.asarray(
+            [seq_key(f"q{i}", self.seq_length_q) for i in range(n_queries)]
+        )
+        self.dbImages = np.asarray(
+            [seq_key(f"db{i}", self.seq_length_db) for i in range(n_db)]
+        )
         self.pIdx = np.asarray([pos[i] for i in keep], dtype=object)
         self.nonNegIdx = np.asarray([nonneg[i] for i in keep], dtype=object)
         self.all_pos_indices = [pos[i] for i in keep]
@@ -411,33 +479,20 @@ class SyntheticMSLS(MSLS):
         self._render = render
         self.transform = None
 
-    def _load(self, name):
-        if name.startswith("q"):
-            i = int(name[1:])
-            return self._render(self.utmQ[i], 10_000 + i)
-        i = int(name[2:])
-        return self._render(self.utmDb[i], 20_000 + i)
+    def load_frame(self, name):
+        # frame names: "q3" / "db7" with an optional "@k" sequence offset
+        # (frames of one sequence render at small UTM steps around center)
+        off = 0
+        if "@" in name:
+            name, k = name.split("@")
+            off = int(k)
+        if name.startswith("db"):
+            utm, seed = self.utmDb[int(name[2:])], 20_000 + int(name[2:])
+        else:
+            utm, seed = self.utmQ[int(name[1:])], 10_000 + int(name[1:])
+        return self._render(utm + 1.5 * off, seed + 1000 * off)
 
-    def load_image_array(self, name: str) -> np.ndarray:
-        return self._load(name)
-
-    def _embed_paths(self, paths, embed_fn, batch=32):
-        out = []
-        for s in range(0, len(paths), batch):
-            imgs = np.stack([self._load(p) for p in paths[s : s + batch]])
-            n = imgs.shape[0]
-            if n < batch:
-                imgs = np.concatenate([imgs, np.zeros((batch - n, *imgs.shape[1:]), imgs.dtype)])
-            out.append(np.asarray(embed_fn(imgs))[:n])
-        return np.concatenate(out, 0)
-
-    def __getitem__(self, idx):
-        triplet, target = self.triplets[idx]
-        qidx, pidx, nidx = triplet[0], triplet[1], triplet[2:]
-        query = self._load(self.qImages[qidx])
-        positive = self._load(self.dbImages[pidx])
-        negatives = np.stack([self._load(self.dbImages[i]) for i in nidx])
-        return query, positive, negatives, [qidx, pidx] + list(nidx)
+    _load = load_frame  # back-compat alias
 
 
 class MSLSEmbedTri(MSLS):
@@ -457,9 +512,9 @@ class MSLSEmbedTri(MSLS):
         qidx, pidx, nidx = triplet[0], triplet[1], triplet[2:]
 
         def load(transform):
-            q = transform(Image.open(self.qImages[qidx]))
-            p = transform(Image.open(self.dbImages[pidx]))
-            n = np.stack([transform(Image.open(self.dbImages[i])) for i in nidx])
+            q = self._load_key(self.qImages[qidx], transform)
+            p = self._load_key(self.dbImages[pidx], transform)
+            n = np.stack([self._load_key(self.dbImages[i], transform) for i in nidx])
             return q, p, n, [qidx, pidx] + list(nidx)
 
         return load(self.transform), load(self.teacher_transform)

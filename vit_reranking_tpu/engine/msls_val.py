@@ -19,21 +19,45 @@ from ..ops.similarity import calc_similarity, l2_normalize
 
 
 def _embed_names(eval_set, names, extract_fn, batch=16):
-    """Load images by name via the dataset and embed in fixed-size batches.
-    extract_fn(images) -> (centers (B, D), dense (B, C, R) or None)."""
+    """Load keys by name via the dataset and embed in fixed-size batches.
+    extract_fn(images) -> (centers (B, D), dense (B, C, R) or None).
+
+    Sequence keys (comma-joined frames, tasks im2seq/seq2im/seq2seq) load as
+    (L, H, W, 3) stacks; frames flatten into fixed (batch,)-sized forwards,
+    the global descriptor is the L2-normalized mean of the frame embeddings,
+    and the dense rerank features come from the CENTER frame (the sequence's
+    identity frame — matches the center-frame semantics of the reference's
+    arrangement/filtering, training_tools/msls.py:126-133)."""
+    from ..data.msls import MSLS
+
     centers, denses = [], []
     for s in range(0, len(names), batch):
         chunk = names[s : s + batch]
-        imgs = np.stack([eval_set.load_image_array(n) for n in chunk])
-        n = imgs.shape[0]
+        items = [eval_set.load_image_array(n) for n in chunk]
+        n = len(items)
+        arr = np.stack(items)
         if n < batch:
-            imgs = np.concatenate(
-                [imgs, np.zeros((batch - n, *imgs.shape[1:]), imgs.dtype)]
+            arr = np.concatenate(
+                [arr, np.zeros((batch - n, *arr.shape[1:]), arr.dtype)]
             )
-        c, d = extract_fn(imgs)
-        centers.append(np.asarray(c)[:n])
-        if d is not None:
-            denses.append(np.asarray(d)[:n])
+        if arr.ndim == 5:  # sequences: (batch, L, H, W, 3)
+            L = arr.shape[1]
+            flat = arr.reshape(batch * L, *arr.shape[2:])
+            cs, ds = [], []
+            for i in range(L):
+                c, d = extract_fn(flat[i * batch : (i + 1) * batch])
+                cs.append(np.asarray(c))
+                ds.append(None if d is None else np.asarray(d))
+            c_all = np.concatenate(cs, 0)  # flat (b*L) order preserved
+            centers.append(MSLS.aggregate_seq(c_all, L)[:n])
+            if ds[0] is not None:
+                d_all = np.concatenate(ds, 0).reshape(batch, L, *ds[0].shape[1:])
+                denses.append(d_all[:n, L // 2])
+        else:
+            c, d = extract_fn(arr)
+            centers.append(np.asarray(c)[:n])
+            if d is not None:
+                denses.append(np.asarray(d)[:n])
     centers = np.concatenate(centers, 0)
     dense = np.concatenate(denses, 0) if denses else None
     return centers, dense
@@ -109,15 +133,26 @@ def msls_val(
         dbTot += dbEnd
 
     def recalls(pred_list):
+        """Recall@N vs UTM ground truth (val.py:211-251), vectorized: per
+        city one (nq, kk, G) broadcast compare + cumulative-hit reduction on
+        device instead of the reference's per-row python loop."""
         correct = np.zeros(len(n_values))
         qix = 0
         for city_preds in pred_list:
-            for row in city_preds:
-                for i, n in enumerate(n_values):
-                    if np.any(np.isin(row[:n], gt[qix])):
-                        correct[i:] += 1
-                        break
-                qix += 1
+            nq, kk = city_preds.shape
+            g = gt[qix : qix + nq]
+            gmax = max((len(x) for x in g), default=0)
+            gtpad = np.full((nq, max(gmax, 1)), -1, np.int64)
+            for i, x in enumerate(g):
+                gtpad[i, : len(x)] = x
+            hits = jnp.any(
+                jnp.asarray(city_preds)[:, :, None] == jnp.asarray(gtpad)[:, None, :],
+                axis=-1,
+            )  # (nq, kk)
+            hit_by_rank = jnp.cumsum(hits, axis=1) > 0
+            cols = [min(n, kk) - 1 for n in n_values]
+            correct += np.asarray(jnp.sum(hit_by_rank[:, jnp.asarray(cols)], axis=0))
+            qix += nq
         return correct / max(len(eval_set.qIdx), 1)
 
     out = {}
