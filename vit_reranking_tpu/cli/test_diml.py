@@ -28,6 +28,54 @@ from ..engine.rerank_eval import rerank_evaluate
 from .common import load_pretrained_into, seed_everything
 
 
+def extract_cam_bank(opt: Config, loader) -> np.ndarray:
+    """Grad-CAM saliency bank (N, R) from a separate ResNet-50 CAM source
+    model (the reference instantiates an ImageNet classifier ResNet-50 for
+    this, eval_attn_diml.py:60-64,157-158; pass --cam_ckpt pointing at a
+    torch resnet50 state to reproduce it bit-for-bit — random init in
+    zero-egress environments still exercises the full path)."""
+    from ..models.resnet import ResNet50Network
+    from ..utils.cam import grad_cam
+
+    cam_model = ResNet50Network(embed_dim=1000, normalize=False)
+    cams = []
+    cam_vars = None
+    cam_fn = None
+    for _, images, _ in loader:
+        images = np.asarray(images, np.float32)
+        if cam_vars is None:
+            sample = jnp.asarray(images[:2])
+            cam_vars = cam_model.init(
+                {"params": jax.random.PRNGKey(7)}, sample, train=False
+            )
+            if opt.cam_ckpt:
+                import torch
+
+                from ..core.convert import convert_resnet50
+
+                sd = torch.load(opt.cam_ckpt, map_location="cpu")
+                params, stats = convert_resnet50(sd)
+                p = dict(cam_vars["params"])
+                p["trunk"] = params["trunk"]
+                if "fc.weight" in sd:  # the ImageNet classifier head
+                    p["last_linear"] = {
+                        "kernel": np.asarray(sd["fc.weight"]).T,
+                        "bias": np.asarray(sd["fc.bias"]),
+                    }
+                cam_vars = {"params": p, "batch_stats": stats}
+            cam_fn = jax.jit(
+                lambda imgs: grad_cam(cam_model, cam_vars, imgs, grid=opt.grid_size)
+            )
+        B = opt.bs
+        n = images.shape[0]
+        if n < B:
+            images = np.concatenate(
+                [images, np.zeros((B - n, *images.shape[1:]), images.dtype)]
+            )
+        cams.append(np.asarray(cam_fn(jnp.asarray(images)))[:n].reshape(n, -1))
+    return np.concatenate(cams, 0)
+
+
 def run_eval(opt: Config, trunc_nums=(0, 100)):
     seed_everything(opt.seed, debug=opt.debug)
     loaders, _ = build_dataset(opt)
@@ -53,7 +101,7 @@ def run_eval(opt: Config, trunc_nums=(0, 100)):
         ck = os.path.basename(opt.resume_path or opt.pretrained_ckpt or "init")
         tag = f"{opt.dataset}_{opt.arch}_g{opt.grid_size}_{ck}" + (
             "_rollout" if opt.use_rollout else ""
-        ) + ("_qk" if opt.use_qk else "")
+        ) + ("_qk" if opt.use_qk else "") + ("_cam" if opt.use_cam else "")
         cache_file = os.path.join(opt.cache_path, f"feat_{tag}.npz")
 
     t0 = time.time()
@@ -69,11 +117,18 @@ def run_eval(opt: Config, trunc_nums=(0, 100)):
             training_mode=opt.training,
             pad_batch=opt.bs,
         )
+        if opt.use_cam:
+            feats["cam"] = extract_cam_bank(opt, test_loader)
         if cache_file:
             np.savez(cache_file, **feats)
     print(f"embedded {len(feats['labels'])} images in {time.time()-t0:.1f}s")
 
-    method = "rollout" if opt.use_rollout else ("qk" if opt.use_qk else "featvit")
+    method = (
+        "cam" if opt.use_cam
+        else "rollout" if opt.use_rollout
+        else "qk" if opt.use_qk
+        else "featvit"
+    )
     flags = dict(
         use_uniform=opt.use_uniform,
         use_inverse=opt.use_inverse,
@@ -88,6 +143,8 @@ def run_eval(opt: Config, trunc_nums=(0, 100)):
         aux_bank, aux_g = jnp.asarray(feats["rollout"]), None
     elif method == "qk":
         aux_bank, aux_g = jnp.asarray(feats["q"]), jnp.asarray(feats["k"])
+    elif method == "cam":
+        aux_bank, aux_g = jnp.asarray(feats["cam"]), None
     else:
         aux_bank, aux_g = None, None
     t0 = time.time()

@@ -208,6 +208,10 @@ class Config:
     synthetic_per_class: int = 16
     synthetic_size: int = 224
     use_qk: bool = False  # ViT attention-marginal rerank (eval_attn_diml path)
+    # Grad-CAM OT marginals (eval_attn_diml.py:111-158 hardcodes use_cam;
+    # exposed as a flag; CAM source model per utilities/cam.py:69-86)
+    use_cam: bool = False
+    cam_ckpt: str = ""  # optional torch resnet50 state for the CAM source
     remat: bool = False  # rematerialize CvT blocks (activation memory <-> FLOPs)
     device_batch: bool = True  # shard batches over the data mesh axis
     mesh_shape: Optional[str] = None  # e.g. "data:8" or "data:4,model:2"

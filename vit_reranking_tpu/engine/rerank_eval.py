@@ -24,7 +24,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.similarity import calc_similarity, calc_similarity_qk, calc_similarity_rollout
+from ..ops.similarity import (
+    calc_similarity,
+    calc_similarity_featvit,
+    calc_similarity_qk,
+    calc_similarity_rollout,
+)
 from ..ops.topk import pairwise_topk
 from .metrics import metrics_from_ranks
 
@@ -46,6 +51,22 @@ def _rerank_tile(
             temperature=flags.get("temperature", 1.0),
             scale=flags.get("qk_scale", 1.0 / 8.0),
             use_ot=flags.get("use_ot", True),
+        )
+    elif method == "cam":
+        # Grad-CAM marginals (reference eval_attn_diml.py:157-158 feeding
+        # calc_similarity_featvit use_cam, diml.py:405-412); the *_rollout
+        # slots carry grid-flattened CAM maps (R,) / (K, R)
+        K, R = fb_rollout.shape[0], anchor.shape[-1]
+        g = int(round(R ** 0.5))
+        # the use_cam branch ignores the cls/center token (marginals come
+        # from the CAM maps alone, diml.py:405-412), so pad a zero cls column
+        # — centers may live in a different (head-projected) dim than the bank
+        a_feat = jnp.concatenate([jnp.zeros_like(anchor[:, :1]), anchor], axis=1)
+        f_feat = jnp.concatenate([jnp.zeros_like(fb[:, :, :1]), fb], axis=2)
+        sim, _ = calc_similarity_featvit(
+            a_feat, f_feat, stage=1, use_cam=True,
+            anchor_cam=anchor_rollout.reshape(g, g),
+            fb_cam=fb_rollout.reshape(K, g, g),
         )
     elif method == "rollout":
         sim, _ = calc_similarity_rollout(
