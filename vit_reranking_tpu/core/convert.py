@@ -19,7 +19,7 @@ Layout rules:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Tuple
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import numpy as np
 
@@ -117,18 +117,40 @@ def convert_cvt(
     return params, stats
 
 
-def convert_vit(state_dict: Mapping[str, Any], depth: int = 12) -> Dict:
+def zoom_pos_embed(pos: np.ndarray, new_grid: int) -> np.ndarray:
+    """Resize a (1, 1 + g_old^2, C) position embedding to a new grid size:
+    cls slot kept, grid part spline-zoomed order=1 — the reference's rule
+    (architectures/cvt.py:574-603, scipy.ndimage.zoom)."""
+    import scipy.ndimage
+
+    pos = np.asarray(pos)
+    tok, grid = pos[:, :1], pos[0, 1:]
+    gs_old = int(np.sqrt(len(grid)))
+    if gs_old == new_grid:
+        return pos
+    grid = grid.reshape(gs_old, gs_old, -1)
+    grid = scipy.ndimage.zoom(grid, (new_grid / gs_old, new_grid / gs_old, 1), order=1)
+    return np.concatenate([tok, grid.reshape(1, new_grid**2, -1)], axis=1)
+
+
+def convert_vit(
+    state_dict: Mapping[str, Any], depth: int = 12, target_grid: Optional[int] = None
+) -> Dict:
     """timm DeiT/ViT checkpoint -> params for models.vit.ViTNetwork.
 
     Key mapping (reference architectures/vit.py:31-40 consumes the timm
     layout): patch_embed.proj, cls_token, pos_embed, blocks.N.{norm1,attn.qkv,
-    attn.proj,norm2,mlp.fc1,mlp.fc2}, norm."""
+    attn.proj,norm2,mlp.fc1,fc2}, norm.  ``target_grid`` zooms the position
+    embedding to a different token grid (reference cvt.py:574-603 rule)."""
     sd = strip_prefix(dict(state_dict), "module.")
     p: Dict = {}
     _set(p, ("patch_embed_proj", "kernel"), _conv_kernel(sd["patch_embed.proj.weight"]))
     _set(p, ("patch_embed_proj", "bias"), _np(sd["patch_embed.proj.bias"]))
     _set(p, ("cls_token",), _np(sd["cls_token"]))
-    _set(p, ("pos_embed",), _np(sd["pos_embed"]))
+    pos = _np(sd["pos_embed"])
+    if target_grid is not None:
+        pos = zoom_pos_embed(pos, target_grid)
+    _set(p, ("pos_embed",), pos)
     for i in range(depth):
         bp = f"blocks.{i}"
         fp = (f"block{i}",)

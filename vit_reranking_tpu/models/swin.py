@@ -126,9 +126,11 @@ class SwinBlock(nn.Module):
             y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))
         x = res + DropPath(self.drop_path, name="dp1")(y.reshape(B, L, C), train)
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, act=nn.gelu, name="mlp")(
-            y, train
-        )
+        # exact erf GELU (timm Swin); flax nn.gelu defaults to tanh approx
+        y = Mlp(
+            int(self.dim * self.mlp_ratio), self.dim,
+            act=lambda t: nn.gelu(t, approximate=False), name="mlp",
+        )(y, train)
         return x + DropPath(self.drop_path, name="dp2")(y, train)
 
 

@@ -62,7 +62,10 @@ class ViTBlock(nn.Module):
         x = x + DropPath(self.drop_path, name="dp1")(attn_out, train)
         y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         y = Mlp(
-            int(self.dim * self.mlp_ratio), self.dim, act=nn.gelu, name="mlp"
+            # exact erf GELU — timm ViT/DeiT semantics (flax nn.gelu defaults
+            # to the tanh approximation, ~1e-3 off per block)
+            int(self.dim * self.mlp_ratio), self.dim,
+            act=lambda t: nn.gelu(t, approximate=False), name="mlp",
         )(y, train)
         x = x + DropPath(self.drop_path, name="dp2")(y, train)
         return x, qk
