@@ -173,3 +173,26 @@ def test_cvt_bf16_close_to_f32():
     ebf = mbf.apply(v, x, train=False)[0].astype(jnp.float32)
     cos = float(jnp.sum(e32 * ebf, -1)[0])
     assert cos > 0.999, cos
+
+
+def test_vit_swin_bf16_parity():
+    """bf16 activation compute (f32 norms/softmax) stays close to the f32
+    forward for ViT and Swin (verdict item 7; same recipe as models/cvt.py)."""
+    import types
+
+    import vit_reranking_tpu.models as archs
+
+    rng = np.random.default_rng(9)
+    for arch in ("vit_normalize", "swin_normalize"):
+        size = 224 if "swin" in arch else 64  # swin-T merge chain needs 56->28->14->7
+        x = jnp.asarray(rng.standard_normal((2, size, size, 3)).astype(np.float32))
+        opt32 = types.SimpleNamespace(embed_dim=16, bf16=False)
+        opt16 = types.SimpleNamespace(embed_dim=16, bf16=True)
+        m32 = archs.select(arch, opt32)
+        m16 = archs.select(arch, opt16)
+        v = m32.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        e32 = m32.apply(v, x, train=False)[0]
+        e16 = m16.apply(v, x, train=False)[0]
+        assert e16.dtype == jnp.float32  # head output stays f32
+        cos = jnp.sum(e32 * e16, -1)
+        assert float(cos.min()) > 0.995, (arch, cos)

@@ -52,8 +52,13 @@ def select(arch: str, opt):
             double_pool="double" in a,
         )
     if a.startswith("vit") or a.startswith("deit"):
-        return ViTNetwork(embed_dim=embed_dim, normalize=normalize,
-                          qk_block=getattr(opt, "blk_ind", 0))
+        import jax.numpy as jnp
+
+        return ViTNetwork(
+            embed_dim=embed_dim, normalize=normalize,
+            qk_block=getattr(opt, "blk_ind", 0),
+            dtype=jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32,
+        )
     if "netvlad" in a:
         return PatchNetVLADNetwork(
             pooling=getattr(opt, "pooling", "patchnetvlad"),
@@ -66,7 +71,12 @@ def select(arch: str, opt):
             vladv2=bool(getattr(opt, "vladv2", False)),
         )
     if "swin" in a:
-        return SwinNetwork(embed_dim=embed_dim, normalize=normalize)
+        import jax.numpy as jnp
+
+        return SwinNetwork(
+            embed_dim=embed_dim, normalize=normalize,
+            dtype=jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32,
+        )
     if a.startswith("cvt"):
         if "diml" in a:
             return CvTDIML(

@@ -63,12 +63,13 @@ class WindowAttention(nn.Module):
     dim: int
     num_heads: int
     window: int = 7
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
         Bw, T, C = x.shape
         hd = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, use_bias=True, name="qkv")(x)
+        qkv = nn.Dense(self.dim * 3, use_bias=True, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(Bw, T, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
@@ -92,7 +93,7 @@ class WindowAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhts,bhsd->bhtd", attn.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(Bw, T, self.dim)
-        return nn.Dense(self.dim, name="proj")(out)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
 class SwinBlock(nn.Module):
@@ -102,6 +103,7 @@ class SwinBlock(nn.Module):
     shift: int = 0
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, H: int, W: int, train: bool = False):
@@ -111,31 +113,35 @@ class SwinBlock(nn.Module):
         window = min(self.window, H, W)
         shift = 0 if min(H, W) <= self.window else self.shift
         res = x
-        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x).reshape(B, H, W, C)
+        # f32 LayerNorms + bf16-capable attention/MLP (cvt.py mixed recipe)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+        y = y.astype(self.dtype).reshape(B, H, W, C)
         if shift > 0:
             y = jnp.roll(y, shift=(-shift, -shift), axis=(1, 2))
             mask = jnp.asarray(_shift_attn_mask(H, W, window, shift))
         else:
             mask = None
         wins = window_partition(y, window)
-        wins = WindowAttention(self.dim, self.num_heads, window, name="attn")(
-            wins, mask, train
-        )
+        wins = WindowAttention(
+            self.dim, self.num_heads, window, dtype=self.dtype, name="attn"
+        )(wins, mask, train)
         y = window_reverse(wins, window, H, W)
         if shift > 0:
             y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))
         x = res + DropPath(self.drop_path, name="dp1")(y.reshape(B, L, C), train)
-        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         # exact erf GELU (timm Swin); flax nn.gelu defaults to tanh approx
         y = Mlp(
             int(self.dim * self.mlp_ratio), self.dim,
-            act=lambda t: nn.gelu(t, approximate=False), name="mlp",
-        )(y, train)
+            act=lambda t: nn.gelu(t, approximate=False),
+            dtype=self.dtype, name="mlp",
+        )(y.astype(self.dtype), train)
         return x + DropPath(self.drop_path, name="dp2")(y, train)
 
 
 class PatchMerging(nn.Module):
     dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, H: int, W: int):
@@ -145,8 +151,10 @@ class PatchMerging(nn.Module):
             [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
             axis=-1,
         ).reshape(B, (H // 2) * (W // 2), 4 * C)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
-        return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
+        return nn.Dense(
+            2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction"
+        )(x.astype(self.dtype))
 
 
 class SwinNetwork(nn.Module):
@@ -160,17 +168,20 @@ class SwinNetwork(nn.Module):
     window: int = 7
     patch: int = 4
     drop_path_rate: float = 0.2
+    dtype: Any = jnp.float32  # activation compute dtype (bf16 = mixed)
 
     @nn.compact
     def __call__(self, x, train: bool = False, ret_attn: bool = False):
         B = x.shape[0]
+        x = x.astype(self.dtype)
         x = nn.Conv(
             self.dim, (self.patch, self.patch), strides=(self.patch, self.patch),
-            name="patch_embed_proj",
+            dtype=self.dtype, name="patch_embed_proj",
         )(x)
         _, H, W, _ = x.shape
         x = x.reshape(B, H * W, self.dim)
-        x = nn.LayerNorm(epsilon=1e-5, name="patch_embed_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="patch_embed_norm")(x)
+        x = x.astype(self.dtype)
 
         total = sum(self.depths)
         dpr = np.linspace(0, self.drop_path_rate, total)
@@ -184,14 +195,16 @@ class SwinNetwork(nn.Module):
                     window=self.window,
                     shift=0 if bi % 2 == 0 else self.window // 2,
                     drop_path=float(dpr[b]),
+                    dtype=self.dtype,
                     name=f"layer{li}_block{bi}",
                 )(x, H, W, train)
                 b += 1
             if li < len(self.depths) - 1:
-                x = PatchMerging(dim, name=f"layer{li}_downsample")(x, H, W)
+                x = PatchMerging(dim, dtype=self.dtype, name=f"layer{li}_downsample")(x, H, W)
                 H, W, dim = H // 2, W // 2, dim * 2
 
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)  # (B, 49, 768)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)  # (B, 49, 768)
+        x = x.astype(jnp.float32)  # head + rerank features in f32
         no_avg_feat = x
         enc_out = jnp.mean(x, axis=1)
         head = nn.Dense(self.embed_dim, name="head")

@@ -25,12 +25,15 @@ class ViTAttention(nn.Module):
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, ret_qk: bool = False):
         B, T, C = x.shape
         hd = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(
+            self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
+        )(x)
         qkv = qkv.reshape(B, T, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # (B, h, T, hd)
         attn = jax.nn.softmax(
@@ -41,7 +44,7 @@ class ViTAttention(nn.Module):
         attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
         out = jnp.einsum("bhts,bhsd->bhtd", attn.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.dim)
-        out = nn.Dense(self.dim, name="proj")(out)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
         qk = (q, k) if ret_qk else None
         return out, qk
@@ -52,21 +55,26 @@ class ViTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, ret_qk: bool = False):
-        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        attn_out, qk = ViTAttention(self.dim, self.num_heads, name="attn")(
-            y, train, ret_qk
-        )
+        # LayerNorms compute in f32 regardless of the activation dtype (same
+        # mixed-precision recipe as models/cvt.py); residual stream stays in
+        # self.dtype
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        attn_out, qk = ViTAttention(
+            self.dim, self.num_heads, dtype=self.dtype, name="attn"
+        )(y.astype(self.dtype), train, ret_qk)
         x = x + DropPath(self.drop_path, name="dp1")(attn_out, train)
-        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         y = Mlp(
             # exact erf GELU — timm ViT/DeiT semantics (flax nn.gelu defaults
             # to the tanh approximation, ~1e-3 off per block)
             int(self.dim * self.mlp_ratio), self.dim,
-            act=lambda t: nn.gelu(t, approximate=False), name="mlp",
-        )(y, train)
+            act=lambda t: nn.gelu(t, approximate=False),
+            dtype=self.dtype, name="mlp",
+        )(y.astype(self.dtype), train)
         x = x + DropPath(self.drop_path, name="dp2")(y, train)
         return x, qk
 
@@ -81,15 +89,18 @@ class ViTNetwork(nn.Module):
     num_heads: int = 6
     patch: int = 16
     qk_block: int = 0  # block whose q/k are captured when ret_attn
+    dtype: Any = jnp.float32  # activation compute dtype (bf16 = mixed)
 
     @nn.compact
     def __call__(
         self, x, train: bool = False, ret_attn: bool = False, ret_layers: bool = False
     ):
         B = x.shape[0]
+        x = x.astype(self.dtype)
         x = nn.Conv(
             self.dim, (self.patch, self.patch),
-            strides=(self.patch, self.patch), name="patch_embed_proj",
+            strides=(self.patch, self.patch), dtype=self.dtype,
+            name="patch_embed_proj",
         )(x)
         _, H, W, _ = x.shape
         tokens = x.reshape(B, H * W, self.dim)
@@ -98,20 +109,21 @@ class ViTNetwork(nn.Module):
         pos = self.param(
             "pos_embed", trunc_normal_init(), (1, H * W + 1, self.dim)
         )
-        tokens = tokens + pos
+        tokens = (tokens + pos).astype(self.dtype)
 
         qk_out = None
         layer_tokens = []
         for i in range(self.depth):
-            tokens, qk = ViTBlock(self.dim, self.num_heads, name=f"block{i}")(
-                tokens, train, ret_qk=(ret_attn and i == self.qk_block)
-            )
+            tokens, qk = ViTBlock(
+                self.dim, self.num_heads, dtype=self.dtype, name=f"block{i}"
+            )(tokens, train, ret_qk=(ret_attn and i == self.qk_block))
             if qk is not None:
                 qk_out = qk
             if ret_layers:
                 layer_tokens.append(tokens)
 
-        tokens = nn.LayerNorm(epsilon=1e-6, name="norm")(tokens)
+        tokens = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(tokens)
+        tokens = tokens.astype(jnp.float32)  # head + rerank features in f32
         enc_out = tokens[:, 0]
         no_avg_feat = tokens[:, 1:]  # (B, 196, 384)
         head = nn.Dense(self.embed_dim, name="head")
