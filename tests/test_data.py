@@ -206,3 +206,57 @@ def test_loader_host_sharding():
     # hosts partition the batch stream with no overlap and full coverage
     flat = [i for b in all_batches for i in b]
     assert sorted(flat) == list(range(len(te)))
+
+
+def test_advanced_sampler_methods():
+    """AdvancedSampler family (reference datasampler/samplers.py:18-171):
+    batch shapes, SPC structure, storage hooks, same-class fill halves."""
+    splits = data.select("synthetic", opt())
+    tr = splits["training"]
+    labels = {idx: lab for _, _, lab, idx in
+              [(None, None, it[-1], it[1]) for it in
+               [(p, i, c, i) for c, items in tr.image_dict.items()
+                for (p, i) in items]]}
+
+    label_of = {}
+    for c, items in tr.image_dict.items():
+        for (_p, i) in items:
+            label_of[i] = c
+
+    rng = np.random.default_rng(1)
+    emb = rng.standard_normal((len(tr), 16)).astype(np.float32)
+
+    for method in ("semi_class_random", "greedy_class_coreset",
+                   "greedy_semi_class_coreset", "presampled_infobatch"):
+        s = sampler_select(method, opt(), tr.image_dict, tr.image_list)
+        if s.requires_storage:
+            s.create_storage(emb)
+        s.precompute_indices()
+        batches = list(s)
+        assert len(batches) == len(s) > 0, method
+        for b in batches:
+            assert len(b) == 8, (method, len(b))
+            assert all(0 <= i < len(tr) for i in b)
+        if method in ("greedy_semi_class_coreset", "presampled_infobatch",
+                      "semi_class_random"):
+            # second half / partner entries share the class of their anchor
+            b = batches[0]
+            if method == "semi_class_random":
+                pairs = [(b[i], b[i + 1]) for i in range(0, len(b), 2)]
+            else:
+                half = len(b) // 2
+                pairs = list(zip(b[:half], b[half:]))
+            assert all(label_of[a] == label_of[p] for a, p in pairs), method
+        if method == "greedy_class_coreset":
+            # SPC-grouped: consecutive samples_per_class entries same class
+            b = batches[0]
+            spc = s.samples_per_class
+            for i in range(0, len(b), spc):
+                grp = {label_of[j] for j in b[i : i + spc]}
+                assert len(grp) == 1, (method, grp)
+        # storage update hooks
+        if s.requires_storage:
+            s.replace_storage_entries(np.zeros((2, 16), np.float32), [0, 1])
+            assert np.all(s.storage[0] == 0)
+            s.full_storage_update(emb)
+            assert np.all(s.storage == emb)

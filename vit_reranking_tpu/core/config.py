@@ -190,6 +190,9 @@ class Config:
     # ---- batch creation (parameters.py:228-243)
     data_sampler: str = "class_random"
     samples_per_class: int = 2
+    # AdvancedSampler subset fraction (reference datasampler/samplers.py:10,
+    # --primary_subset_perc)
+    primary_subset_perc: float = 0.1
     data_batchmatch_bigbs: int = 512
     data_batchmatch_ncomps: int = 10
     data_storage_no_update: bool = False

@@ -361,3 +361,189 @@ SAMPLERS.update(
         "disthist_batchmatch": DistHistBatchmatchSampler,
     }
 )
+
+
+class AdvancedSampler:
+    """Unified batch-selection sampler (reference datasampler/samplers.py:18-171,
+    the `AdvancedSampler` the registry never dispatched to — its methods are
+    exposed here under their reference names):
+
+      * ``class_random`` / ``semi_class_random`` — no storage;
+      * ``greedy_class_coreset`` — greedy coreset WITHIN each sampled class;
+      * ``greedy_semi_class_coreset`` — coreset over a random subset for half
+        the batch, other half filled with same-class partners;
+      * ``presampled_infobatch`` — half the batch drawn by inverse-sphere
+        pair weighting over a random subset (distance-miner distribution,
+        samplers.py:126-152), same-class pairs masked, rest same-class fill.
+
+    Storage is a (N, D) embedding matrix maintained by the engine through the
+    same hooks as the other storage samplers; selection math runs in numpy
+    (host-side bookkeeping — the embeddings already come from the device)."""
+
+    REQUIRES_STORAGE = True  # except the two random modes, see requires_storage
+
+    def __init__(self, opt, image_dict, image_list, method="class_random",
+                 seed: Optional[int] = None, **kw):
+        self.image_dict = image_dict
+        self.image_list = image_list
+        self.method = method
+        self.batch_size = opt.bs
+        self.samples_per_class = getattr(opt, "samples_per_class", 2)
+        self.random_subset_perc = getattr(opt, "primary_subset_perc", 0.1)
+        self.sampler_length = len(image_list) // opt.bs
+        self.rng = np.random.default_rng(seed if seed is not None else opt.seed)
+        self.name = f"advanced_{method}"
+        self.requires_storage = method in (
+            "greedy_class_coreset", "greedy_semi_class_coreset",
+            "presampled_infobatch",
+        )
+        self.update_storage = self.requires_storage
+        self.storage: Optional[np.ndarray] = None
+        self.epoch_indices: List[List[int]] = []
+        self._class_keys = list(image_dict.keys())
+
+    # ---- storage hooks (engine contract, same as GreedyCoresetSampler)
+    def create_storage(self, embeddings: np.ndarray):
+        self.storage = np.asarray(embeddings, np.float32)
+
+    def replace_storage_entries(self, embeddings, indices):
+        self.storage[np.asarray(indices)] = np.asarray(embeddings, np.float32)
+
+    def full_storage_update(self, embeddings):
+        self.storage = np.asarray(embeddings, np.float32)
+
+    # ---- selection primitives
+    @staticmethod
+    def _pdistsq(A: np.ndarray) -> np.ndarray:
+        prod = A @ A.T
+        sq = prod.diagonal().reshape(-1, 1)
+        return -2 * prod + sq + sq.T
+
+    def _greedy_coreset(self, A: np.ndarray, samples: int) -> List[int]:
+        """Farthest-point traversal seeded at random (samplers.py:108-125)."""
+        dist = self._pdistsq(A)
+        anchor_d = np.linalg.norm(dist, axis=1)
+        picked = []
+        for k in range(samples):
+            no = (
+                int(self.rng.integers(len(anchor_d))) if k == 0
+                else int(np.argmax(anchor_d))
+            )
+            picked.append(no)
+            anchor_d = np.minimum(anchor_d, dist[:, no])
+        return picked
+
+    def _presample_infobatch(self, classes: np.ndarray, A: np.ndarray,
+                             samples: int) -> List[int]:
+        """Inverse-sphere pair sampling (samplers.py:126-152): log q^-1 =
+        (2-d) log r - ((d-3)/2) log(1 - r^2/4) over the pairwise squared
+        distances clamped at 0.5, same-class pairs masked.  The log argument
+        is floored at 1e-12 (the reference lets it go negative -> NaN)."""
+        n, dim = A.shape
+        same = classes.reshape(-1, 1) == classes.reshape(1, -1)
+        r = np.clip(self._pdistsq(A), 0.5, None)
+        logq = (2.0 - dim) * np.log(r) - ((dim - 3) / 2.0) * np.log(
+            np.clip(1.0 - 0.25 * r**2, 1e-12, None)
+        )
+        logq[same] = 0.0
+        w = np.exp(logq - logq.max()).astype(np.float64)
+        w[same] = 0.0
+        w = (w / w.sum()).reshape(-1)
+
+        picked: set = set()
+        while len(picked) < samples:
+            total = w.sum()
+            if total <= 0.0:  # pair pool exhausted (tiny subsets) — random fill
+                rest = [i for i in range(n) if i not in picked]
+                self.rng.shuffle(rest)
+                picked |= set(rest[: samples - len(picked)])
+                break
+            idx = int(self.rng.choice(len(w), p=w / total))
+            w[idx] = 0.0
+            picked |= {idx // n, idx % n}
+        return list(picked)[:samples]
+
+    def _rand_class_member(self, cls) -> int:
+        members = self.image_dict[cls]
+        return members[self.rng.integers(len(members))][-1]
+
+    def _one_batch(self) -> List[int]:
+        bs, spc = self.batch_size, self.samples_per_class
+        if self.method == "class_random":
+            batch = []
+            for _ in range(bs // spc):
+                cls = self._class_keys[self.rng.integers(len(self._class_keys))]
+                batch.extend(self._rand_class_member(cls) for _ in range(spc))
+            return batch
+        if self.method == "semi_class_random":
+            batch = []
+            for _ in range(bs // 2):
+                ridx = int(self.rng.integers(len(self.image_list)))
+                cls = self.image_list[ridx][-1]
+                batch.extend([ridx, self._rand_class_member(cls)])
+            return batch
+
+        assert self.storage is not None, "create_storage must run first"
+        sub_len = min(
+            len(self.storage),
+            max(self.batch_size, int(self.random_subset_perc * len(self.storage))),
+        )
+        if self.method == "greedy_class_coreset":
+            batch = []
+            for _ in range(bs // spc):
+                cls = self._class_keys[self.rng.integers(len(self._class_keys))]
+                cls_idx = np.asarray([x[1] for x in self.image_dict[cls]])
+                picks = self._greedy_coreset(
+                    self.storage[cls_idx], min(spc, len(cls_idx))
+                )
+                batch.extend(int(cls_idx[p]) for p in picks)
+            return batch
+        if self.method == "greedy_semi_class_coreset":
+            subset = self.rng.integers(0, len(self.storage), sub_len)
+            picks = self._greedy_coreset(self.storage[subset], bs // 2)
+            half = [int(subset[p]) for p in picks]
+            return half + [
+                self._rand_class_member(self.image_list[i][-1]) for i in half
+            ]
+        if self.method == "presampled_infobatch":
+            subset = self.rng.integers(0, len(self.storage), sub_len)
+            classes = np.asarray([self.image_list[i][-1] for i in subset])
+            picks = self._presample_infobatch(
+                classes, self.storage[subset], bs // 2
+            )
+            half = [int(subset[p]) for p in picks]
+            return half + [
+                self._rand_class_member(self.image_list[i][-1]) for i in half
+            ]
+        raise NotImplementedError(
+            f"Batch selection method {self.method} not available!"
+        )
+
+    def precompute_indices(self):
+        self.epoch_indices = [self._one_batch() for _ in range(self.sampler_length)]
+
+    def __iter__(self):
+        if not self.epoch_indices:
+            self.precompute_indices()
+        for b in self.epoch_indices:
+            yield b
+
+    def __len__(self):
+        return self.sampler_length
+
+
+def _advanced(method):
+    def build(opt, image_dict, image_list, **kw):
+        return AdvancedSampler(opt, image_dict, image_list, method=method, **kw)
+
+    return build
+
+
+SAMPLERS.update(
+    {
+        "greedy_class_coreset": _advanced("greedy_class_coreset"),
+        "greedy_semi_class_coreset": _advanced("greedy_semi_class_coreset"),
+        "presampled_infobatch": _advanced("presampled_infobatch"),
+        "semi_class_random": _advanced("semi_class_random"),
+    }
+)
