@@ -90,3 +90,77 @@ def test_patchsim_cli_synthetic():
         "--bs", "8", "--kernels", "1", "--synthetic_per_class", "4",
     ])
     assert np.all(np.isfinite(np.asarray(sims)))
+
+
+def test_visualization_tail(tmp_path):
+    """Flow / rollout panels + MSLS heatmap + triptych (verdict item 9;
+    reference visual.py:298-505, train_epoch.py:106-123)."""
+    from vit_reranking_tpu.utils.visual import (
+        top_correspondences,
+        visual_attention_rollout_images,
+        visual_attention_rollout_layers,
+        visual_heatmap_msls,
+        visual_msls_triptych,
+        visual_self_cross_flow,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.standard_normal((32, 32, 3)).astype(np.float32)
+    R = 16
+    u = np.abs(rng.standard_normal(R)); v = np.abs(rng.standard_normal(R))
+    T = np.abs(rng.standard_normal((R, R)))
+    S = np.abs(rng.standard_normal((R, R)))
+
+    # correspondence orientation: row = gallery patch, col = query patch
+    st = np.zeros((R, R)); st[5, 7] = 9.0; st[2, 3] = 5.0
+    assert top_correspondences(st, 2) == [(5, 7), (2, 3)]
+
+    visual_heatmap_msls(img, img, u, v, T, S, str(tmp_path / "hm.png"))
+    visual_self_cross_flow(img, img, (u, v), (u, v), str(tmp_path / "fl.png"))
+    visual_attention_rollout_layers(
+        img, np.abs(rng.standard_normal((3, R))), str(tmp_path / "rl.png")
+    )
+    visual_attention_rollout_images(
+        np.stack([img, img]), np.abs(rng.standard_normal((2, R))),
+        str(tmp_path / "ri.png"),
+    )
+    visual_msls_triptych(img, img, img, str(tmp_path / "tri.png"))
+    for f in ("hm.png", "fl.png", "rl.png", "ri.png", "tri.png"):
+        assert os.path.exists(tmp_path / f)
+
+
+def test_msls_val_writes_heatmaps(tmp_path):
+    """visual_dir in msls_val writes the per-city OT heatmap panels."""
+    from vit_reranking_tpu.data.msls import SyntheticMSLS
+    from vit_reranking_tpu.engine.msls_val import msls_val
+
+    ds = SyntheticMSLS(n_queries=12, n_db=24, nNeg=2, image_size=32, seed=3)
+
+    def extract(imgs):
+        x = imgs.reshape(imgs.shape[0], -1, 3).mean(1)
+        x = np.concatenate([x, imgs.reshape(imgs.shape[0], 8, -1).mean(-1)], -1)
+        c = x / np.linalg.norm(x, axis=-1, keepdims=True)
+        d = np.repeat(c[:, :, None], 4, axis=2).astype(np.float32)
+        return c.astype(np.float32), d
+
+    out = msls_val(
+        ds, extract, trunc_nums=(0, 4), batch=8,
+        visual_dir=str(tmp_path), vis_every=6,
+    )
+    assert "dimlR_5" in out
+    pngs = [f for f in os.listdir(tmp_path) if f.endswith(".png")]
+    assert pngs, "no heatmap panels written"
+
+
+def test_msls_train_writes_triptychs(tmp_path):
+    """First-steps triptych in the MSLS train loop (train_epoch.py:106-123)."""
+    from vit_reranking_tpu.cli.train_msls_baseline import main
+
+    main([
+        "--dataset", "synthetic", "--arch", "resnet50_normalize",
+        "--embed_dim", "16", "--n_epochs", "1", "--evalevery", "5",
+        "--nNeg", "2", "--lr", "0.0001", "--save_path", str(tmp_path),
+        "--group", "viz", "--bs", "4",
+    ])
+    run_dir = os.path.join(str(tmp_path), "synthetic", "viz_s1", "visual")
+    assert os.path.isdir(run_dir) and len(os.listdir(run_dir)) >= 1

@@ -232,11 +232,23 @@ def main(argv=None):
             train_set.update_subcache(embed_fn, opt.embed_dim)
             trips = list(range(len(train_set)))
             np.random.shuffle(trips)
-            for s in range(0, len(trips) - B + 1, B):
+            for step_i, s in enumerate(range(0, len(trips) - B + 1, B)):
                 items = [train_set[i] for i in trips[s : s + B]]
                 q = jnp.asarray(np.stack([it[0] for it in items]))
                 p = jnp.asarray(np.stack([it[1] for it in items]))
                 negs = jnp.asarray(np.stack([it[2] for it in items]))
+                if sub == 0 and step_i < 3:
+                    # input triptych for the first steps of every epoch
+                    # (reference train_epoch.py:106-123); sequences show
+                    # their center frame
+                    from ..utils.visual import visual_msls_triptych
+
+                    center = lambda a: a[a.shape[0] // 2] if a.ndim == 4 else a
+                    visual_msls_triptych(
+                        center(items[0][0]), center(items[0][1]),
+                        center(items[0][2][0]),
+                        save_path=f"{logger.run_dir}/visual/{epoch}_{step_i}.png",
+                    )
                 t_embed = None
                 if teacher is not None:
                     imgs = jnp.concatenate(

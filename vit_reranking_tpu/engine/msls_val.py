@@ -70,11 +70,15 @@ def msls_val(
     n_values: Sequence[int] = (1, 5, 10, 20, 50, 100),
     batch: int = 16,
     rerank_flags: Optional[dict] = None,
+    visual_dir: Optional[str] = None,
+    vis_every: int = 10,
 ) -> Dict[str, float]:
     """Returns {'globalR_N': ..., 'dimlR_N': ...} recall dict.
 
     rerank_flags default to the reference's val settings (val.py:177-187):
     use_minus=True, use_cls_token=True, temperature=0.1, ot_part=1.0.
+    ``visual_dir`` saves the reranked-top-1 OT heatmap panel for every
+    ``vis_every``-th query per city (reference val.py:188-190).
     """
     flags = dict(
         use_uniform=False, use_inverse=False, temperature=0.1,
@@ -127,6 +131,29 @@ def msls_val(
             rerank = jnp.take_along_axis(top, order, axis=1)
             final = jnp.concatenate([rerank, preds[:, Keff:]], axis=1)
             final_preds.append(np.asarray(final))
+
+            if visual_dir:
+                from ..utils.visual import visual_heatmap_msls
+
+                q_names = eval_set.qImages[qTot : qTot + qEnd]
+                db_names = eval_set.dbImages[dbTot : dbTot + dbEnd]
+                for qi in range(0, int(qEnd), max(int(vis_every), 1)):
+                    top1 = int(np.asarray(rerank[qi, 0]))
+                    rank_in_top = int(np.asarray(order[qi, 0]))
+                    _, aux = calc_similarity(
+                        qD[qi], qF[qi], dbD[top[qi]], dbF[top[qi]], stage=1,
+                        **flags,
+                    )
+                    pick = lambda a: np.asarray(a)[rank_in_top]
+                    q_im = eval_set.load_image_array(q_names[qi])
+                    db_im = eval_set.load_image_array(db_names[top1])
+                    center = lambda a: a[a.shape[0] // 2] if np.asarray(a).ndim == 4 else a
+                    visual_heatmap_msls(
+                        center(q_im), center(db_im),
+                        pick(aux.u), pick(aux.v), pick(aux.T), pick(aux.sim_r),
+                        save_path=f"{visual_dir}/heatmap_city{len(final_preds)-1}_q{qi:04d}.png",
+                        use_cls_token=flags.get("use_cls_token", True),
+                    )
 
         predictions.append(np.asarray(preds))
         qTot += qEnd
