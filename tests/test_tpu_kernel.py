@@ -49,6 +49,27 @@ _PROBE = textwrap.dedent(
         d = np.abs(out[:16] - ref).max()
         assert d < 1e-4, (ot_part, d)
         print(f"ot_part={ot_part}: max diff {d:.2e} OK")
+
+    # VMEM-resident rollout filter: compiled Mosaic vs the XLA bisection
+    # must be bit-identical (ops/rollout.py::filter_threshold_pallas)
+    from vit_reranking_tpu.ops.rollout import filter_threshold_pallas
+    flat = jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((4, 3136, 784)).astype(np.float32)), -1
+    ).reshape(4, -1)
+    kk = int(flat.shape[1] * 0.1)
+    def xla_bisect(flat, k, iters=40):
+        def body(_, c):
+            lo, hi = c
+            mid = 0.5 * (lo + hi)
+            cnt = jnp.sum((flat <= mid[:, None]).astype(jnp.int32), axis=1)
+            return jnp.where(cnt < k, mid, lo), jnp.where(cnt < k, hi, mid)
+        lo, hi = jnp.min(flat, 1), jnp.max(flat, 1)
+        _, kth = jax.lax.fori_loop(0, iters, body, (lo, hi))
+        return jnp.where(flat <= kth[:, None], 0.0, flat)
+    a = np.asarray(jax.jit(lambda x: xla_bisect(x, kk))(flat))
+    b = np.asarray(filter_threshold_pallas(flat, kk))
+    assert np.array_equal(a, b), np.abs(a - b).max()
+    print("filter_threshold_pallas: bit-identical OK")
     """
 )
 

@@ -23,11 +23,14 @@ from ..ops.rollout import rollout_saliency
 from ..ops.similarity import l2_normalize
 
 
-def make_embed_fn(
+import functools
+
+
+def _make_embed_body(
     model, grid_size: int = 7, use_rollout: bool = False, training_mode: bool = False,
     use_qk: bool = False,
 ):
-    """Returns a jitted fn(variables, images) -> dict of per-batch features."""
+    """Un-jitted embed body shared by the per-batch and whole-dataset paths."""
 
     def embed(variables, images):
         out, (enc_out, no_avg_feat), aux = model.apply(
@@ -59,7 +62,49 @@ def make_embed_fn(
             res["k"] = aux["k"]
         return res
 
-    return jax.jit(embed)
+    return embed
+
+
+@functools.lru_cache(maxsize=32)
+def make_embed_fn(
+    model, grid_size: int = 7, use_rollout: bool = False, training_mode: bool = False,
+    use_qk: bool = False,
+):
+    """Returns a jitted fn(variables, images) -> dict of per-batch features.
+
+    Cached on (model, flags): Flax modules hash by field values, so repeated
+    extractions (per-epoch eval, benchmarks) reuse the compiled executable
+    instead of re-tracing a fresh jit wrapper each call."""
+    return jax.jit(_make_embed_body(model, grid_size, use_rollout, training_mode, use_qk))
+
+
+@functools.lru_cache(maxsize=32)
+def make_extract_all_fn(
+    model, batch_size: int, grid_size: int = 7, use_rollout: bool = False,
+    training_mode: bool = False, use_qk: bool = False,
+):
+    """ONE compiled program that embeds a whole (device-resident) dataset.
+
+    ``lax.map`` over fixed-size batches bounds activation memory exactly like
+    a host loop, but the entire extraction — every batch, the concatenation,
+    the final L2 norms — is a single dispatch.  That matters doubly here:
+    per-op dispatch on this platform costs tens of ms, and a host-side loop
+    serializes on it (measured: a python loop over jitted per-batch embeds
+    runs ~6x slower than this at identical device work).
+    """
+    body = _make_embed_body(model, grid_size, use_rollout, training_mode, use_qk)
+
+    @jax.jit
+    def extract_all(variables, images):  # (nb*B, H, W, C), nb*B static
+        nb = images.shape[0] // batch_size
+        batches = images.reshape(nb, batch_size, *images.shape[1:])
+        res = jax.lax.map(lambda b: body(variables, b), batches)
+        out = {k: v.reshape(nb * batch_size, *v.shape[2:]) for k, v in res.items()}
+        out["bank"] = l2_normalize(out["bank"], axis=1)
+        out["center"] = l2_normalize(out["center"], axis=1)
+        return out
+
+    return extract_all
 
 
 def extract_features(
@@ -79,6 +124,19 @@ def extract_features(
     Batches are padded to a fixed size to avoid shape-churn recompiles."""
     embed = make_embed_fn(model, grid_size, use_rollout, training_mode, use_qk)
     banks, centers, rolls, qs, ks, labels = [], [], [], [], [], []
+    pending = None  # one-batch pipeline: device compute overlaps host copy
+
+    def _flush(res, n):
+        # slice on host — slicing on device would rematerialize and defeat
+        # the async copy already in flight
+        banks.append(np.asarray(res["bank"])[:n])
+        centers.append(np.asarray(res["center"])[:n])
+        if use_rollout:
+            rolls.append(np.asarray(res["rollout"])[:n])
+        if use_qk:
+            qs.append(np.asarray(res["q"])[:n])
+            ks.append(np.asarray(res["k"])[:n])
+
     for lab, images, idx in loader:
         n = images.shape[0]
         B = pad_batch or n
@@ -87,14 +145,16 @@ def extract_features(
                 [images, np.zeros((B - n, *images.shape[1:]), images.dtype)], 0
             )
         res = embed(variables, jnp.asarray(images))
-        banks.append(np.asarray(res["bank"][:n]))
-        centers.append(np.asarray(res["center"][:n]))
-        if use_rollout:
-            rolls.append(np.asarray(res["rollout"][:n]))
-        if use_qk:
-            qs.append(np.asarray(res["q"][:n]))
-            ks.append(np.asarray(res["k"][:n]))
+        # start the device->host copies without blocking, then drain the
+        # previous batch while this one computes/transfers
+        for v in res.values():
+            v.copy_to_host_async()
+        if pending is not None:
+            _flush(*pending)
+        pending = (res, n)
         labels.append(np.asarray(lab))
+    if pending is not None:
+        _flush(*pending)
     bank = np.concatenate(banks, 0)
     center = np.concatenate(centers, 0)
     out = {
@@ -107,4 +167,38 @@ def extract_features(
     if use_qk:
         out["q"] = np.concatenate(qs, 0)
         out["k"] = np.concatenate(ks, 0)
+    return out
+
+
+def extract_features_device(
+    model,
+    variables,
+    images: jnp.ndarray,
+    batch_size: int = 32,
+    grid_size: int = 7,
+    use_rollout: bool = False,
+    training_mode: bool = False,
+    use_qk: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Device-resident Phase A: embed an (N, H, W, C) device array without any
+    host round-trip.
+
+    The loader path (:func:`extract_features`) exists for host datasets; on
+    TPU the bank feeds straight into the device-side rerank
+    (engine/rerank_eval.py), so shipping it through the host per batch is pure
+    overhead — at SOP scale the whole bank (60k x 128 x 49 f32 = 1.5 GB) fits
+    HBM comfortably.  The whole loop compiles to one program
+    (:func:`make_extract_all_fn`); outputs are concatenated and L2-normalized
+    on device (reference eval_cvt_diml.py:304-305).
+    """
+    extract_all = make_extract_all_fn(
+        model, batch_size, grid_size, use_rollout, training_mode, use_qk
+    )
+    N = images.shape[0]
+    pad = (-N) % batch_size
+    if pad:  # wrap-pad the tail to a whole batch; cropped below
+        images = jnp.concatenate([images, images[:pad]], axis=0)
+    out = extract_all(variables, images)
+    if pad:
+        out = {k: v[:N] for k, v in out.items()}
     return out
