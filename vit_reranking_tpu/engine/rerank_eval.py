@@ -186,24 +186,27 @@ def rerank_evaluate(
             dummy_roll = rollout if rollout is not None else jnp.zeros((N, 1))
             gal_roll = rollout_g if rollout_g is not None else dummy_roll
 
-            @jax.jit
-            def tile_fn(anchor, anchor_center, anchor_roll, inds):
-                return jax.vmap(rerank_one)(
-                    anchor, anchor_center, anchor_roll,
-                    feature_bank[inds], feature_bank_center[inds], gal_roll[inds],
-                )
+            # one compiled program for every tile (lax.map): host-side
+            # per-tile dispatch costs ~30-60 ms each on this platform
+            nt = -(-N // query_block)
+            idx_all = (jnp.arange(nt * query_block) % N).reshape(nt, query_block)
 
-            sims = []
-            for s in range(0, N, query_block):
-                e = min(s + query_block, N)
-                # pad the last tile to the block size to avoid a recompile
-                idx = jnp.arange(s, s + query_block) % N
-                tile = tile_fn(
-                    feature_bank[idx], feature_bank_center[idx], dummy_roll[idx],
-                    top_inds[idx],
-                )
-                sims.append(tile[: e - s])
-            ot_sims = jnp.concatenate(sims, axis=0)  # (N, K)
+            @jax.jit
+            def all_tiles(idx_all, feature_bank, feature_bank_center, roll, gal, tops):
+                def one(idx):
+                    inds = tops[idx]
+                    return jax.vmap(rerank_one)(
+                        feature_bank[idx], feature_bank_center[idx], roll[idx],
+                        feature_bank[inds], feature_bank_center[inds], gal[inds],
+                    )
+
+                return jax.lax.map(one, idx_all)
+
+            tiles = all_tiles(
+                idx_all, feature_bank, feature_bank_center, dummy_roll, gal_roll,
+                top_inds,
+            )
+            ot_sims = tiles.reshape(nt * query_block, -1)[:N]  # (N, K)
 
         # rerank within the head by ot_sim + global sim (eval_cvt_diml.py:357)
         order = jnp.argsort(-(ot_sims + top_vals), axis=1)

@@ -78,8 +78,20 @@ def _sinkhorn_score_kernel(
         lane_mask = (lane < group_valid).astype(jnp.float32)
         denom = float(u.shape[0] * group_valid)
 
-    def body(_, carry):
-        r, c, done = carry
+    n_lanes = jnp.float32(done0.shape[-1])
+
+    def cond(carry):
+        # stop when every lane is frozen: frozen lanes are masked no-ops, so
+        # breaking early is bit-identical to running out the trip count — and
+        # matches the reference's actual behavior (its `break` fires after
+        # ~10-15 iterations on real data, diml.py:50-52); ~8x less loop work
+        # than a fixed 100-trip fori_loop at thresh=1e-1.
+        i, r, c, done = carry
+        running = jnp.sum(jnp.sum(done, axis=-1, keepdims=True), axis=0, keepdims=True)
+        return jnp.logical_and(i < iters, running[0, 0] < n_lanes)
+
+    def body(carry):
+        i, r, c, done = carry
         # Kc[s, p] = sum_m Km[s, m, p] c[m, p]   (sublane reduction)
         Kc = jnp.sum(Km * c[None, :, :], axis=1)
         r_new = done * r + (1.0 - done) * (u / Kc)
@@ -96,9 +108,11 @@ def _sinkhorn_score_kernel(
         else:
             err = jnp.mean(jnp.abs(r_new - r), axis=0, keepdims=True)  # per pair
             done = jnp.maximum(done, (err < thresh).astype(jnp.float32))
-        return r_new, c_new, done
+        return i + 1, r_new, c_new, done
 
-    r, c, _ = jax.lax.fori_loop(0, iters, body, (r0, c0, done0))
+    _, r, c, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), r0, c0, done0)
+    )
 
     # score = sum_sm r K c S without a 3D temporary: contract m first
     t1 = jnp.sum((Km * S) * c[None, :, :], axis=1)  # (R_s, P)
@@ -245,6 +259,13 @@ def fused_rerank_tile(
     return flat.reshape(T, K)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iters", "thresh", "ot_temp", "ot_part", "query_tile", "use_uniform",
+        "interpret",
+    ),
+)
 def fused_rollout_rerank_scores(
     feature_bank: jnp.ndarray,
     centers: jnp.ndarray,
@@ -262,24 +283,37 @@ def fused_rollout_rerank_scores(
 
     feature_bank (N, C, R) normalized, rollout (N, R), top_inds (N, K).
     Returns (N, K) OT scores aligned with top_inds.
+
+    The tile loop runs as ``lax.map`` inside ONE compiled program: a host-side
+    loop of per-tile dispatches costs ~30-60 ms of dispatch latency each on
+    this platform (236 tiles at SOP scale ~ 7-14 s of pure overhead), and
+    per-tile host dispatch also defeats XLA's cross-tile pipelining.
     """
     N, C, R = feature_bank.shape
     K = top_inds.shape[1]
-    # choose a pair-lane pack that divides the tile's pair count
     P = PAIR_LANES
+    nt = -(-N // query_tile)
+    idx_all = (jnp.arange(nt * query_tile) % N).reshape(nt, query_tile)
 
-    outs = []
-    for s in range(0, N, query_tile):
-        idx = jnp.arange(s, s + query_tile) % N  # pad-wrap to fixed tile size
-        tile = _rollout_tile(
+    def tile(idx):
+        return _rollout_tile(
             feature_bank, rollout, top_inds, idx,
             iters=iters, thresh=thresh, ot_temp=ot_temp, ot_part=ot_part,
             use_uniform=use_uniform, interpret=interpret, P=P,
         )
-        outs.append(tile[: min(query_tile, N - s)])
-    return jnp.concatenate(outs, axis=0)
+
+    out = jax.lax.map(tile, idx_all)  # (nt, query_tile, K)
+    return out.reshape(nt * query_tile, K)[:N]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iters", "thresh", "ot_temp", "ot_part", "query_tile", "use_uniform",
+        "use_inverse", "use_minus", "use_soft", "use_cls_token", "temperature",
+        "interpret",
+    ),
+)
 def fused_featvit_rerank_scores(
     feature_bank: jnp.ndarray,
     centers: jnp.ndarray,
@@ -298,15 +332,16 @@ def fused_featvit_rerank_scores(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused rerank with cross-attention marginals (the calc_similarity
-    stage-1 path, reference diml.py:77-147)."""
+    stage-1 path, reference diml.py:77-147).  One compiled program — see
+    :func:`fused_rollout_rerank_scores` for why the tile loop is lax.map."""
     N, C, R = feature_bank.shape
     K = top_inds.shape[1]
     P = PAIR_LANES
+    nt = -(-N // query_tile)
+    idx_all = (jnp.arange(nt * query_tile) % N).reshape(nt, query_tile)
 
-    outs = []
-    for s in range(0, N, query_tile):
-        idx = jnp.arange(s, s + query_tile) % N
-        tile = _featvit_tile(
+    def tile(idx):
+        return _featvit_tile(
             feature_bank, centers, top_inds, idx,
             iters=iters, thresh=thresh, ot_temp=ot_temp, ot_part=ot_part,
             use_uniform=use_uniform, use_inverse=use_inverse,
@@ -314,8 +349,9 @@ def fused_featvit_rerank_scores(
             use_cls_token=use_cls_token, temperature=temperature,
             interpret=interpret, P=P,
         )
-        outs.append(tile[: min(query_tile, N - s)])
-    return jnp.concatenate(outs, axis=0)
+
+    out = jax.lax.map(tile, idx_all)
+    return out.reshape(nt * query_tile, K)[:N]
 
 
 @functools.partial(
