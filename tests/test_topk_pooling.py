@@ -72,3 +72,19 @@ def test_grid_resize_tokens_non_divisible():
     up = torch.nn.Upsample(size=16, mode="bilinear", align_corners=True)(torch.tensor(x))
     ref = torch.nn.AdaptiveAvgPool2d(4)(up).numpy()
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pairwise_topk_approx_mode():
+    # approx=True routes per-block selection through lax.approx_max_k with an
+    # exact cross-block merge; at small scale (and on CPU, where approx_max_k
+    # lowers to exact sort) results must equal the exact path
+    from vit_reranking_tpu.ops.topk import pairwise_topk
+
+    rng = np.random.default_rng(7)
+    emb = rng.standard_normal((96, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    e = jnp.asarray(emb)
+    v0, i0 = pairwise_topk(e, e, k=10, mask_self=True, block_size=32)
+    v1, i1 = pairwise_topk(e, e, k=10, mask_self=True, block_size=32, approx=True)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6)
+    assert np.array_equal(np.asarray(i0), np.asarray(i1))

@@ -157,6 +157,7 @@ def run_eval(opt: Config, trunc_nums=(0, 100)):
         trunc_nums=trunc_nums,
         method=method,
         flags=flags,
+        approx_topk=getattr(opt, "approx_topk", False),
     )
     dt = time.time() - t0
     n_pairs = len(feats["labels"]) * max(trunc_nums)

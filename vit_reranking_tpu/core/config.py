@@ -219,6 +219,9 @@ class Config:
     device_batch: bool = True  # shard batches over the data mesh axis
     mesh_shape: Optional[str] = None  # e.g. "data:8" or "data:4,model:2"
     bf16: bool = False  # bf16 activation compute in the backbone (+31% train step)
+    # stage-0 retrieval via TPU approx_max_k per gallery block (~2.4x at SOP
+    # scale, empirical recall 1.0 at target 0.99); default exact = faiss parity
+    approx_topk: bool = False
     pretrained_ckpt: Optional[str] = None  # torch checkpoint for converters
 
     def replace(self, **kw) -> "Config":

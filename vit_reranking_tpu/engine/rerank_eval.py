@@ -102,6 +102,7 @@ def rerank_evaluate(
     query_block: int = 128,
     head_k: Optional[int] = None,
     use_fused: Optional[bool] = None,
+    approx_topk: bool = False,
 ) -> Dict[str, Dict[int, float]]:
     """Full evaluation: returns {'r1'|'rp'|'mapr': {trunc: percent}}.
 
@@ -126,8 +127,12 @@ def rerank_evaluate(
     Kmax = head_k or min(N, max(max_pos, K, 1) + 1)
     Kmax = max(Kmax, K)
 
+    # approx_topk: per-block approx_max_k stage-0 (~2.4x at SOP scale,
+    # empirical recall 1.0 at the 0.99 target; ops/topk.py) — opt-in, the
+    # default stays exact-faiss-parity
     vals, approx_tops = pairwise_topk(
-        feature_bank_center, feature_bank_center, k=Kmax, mask_self=True
+        feature_bank_center, feature_bank_center, k=Kmax, mask_self=True,
+        approx=approx_topk,
     )
 
     results = {m: {} for m in ("r1", "rp", "mapr")}

@@ -31,7 +31,10 @@ def _scores_block(queries, gallery_block, metric):
     raise ValueError(f"unknown metric {metric}")
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "block_size", "mask_self"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "block_size", "mask_self", "approx", "recall_target"),
+)
 def pairwise_topk(
     queries: jnp.ndarray,
     gallery: jnp.ndarray,
@@ -40,8 +43,10 @@ def pairwise_topk(
     block_size: int = 8192,
     mask_self: bool = False,
     query_offset: int | jnp.ndarray = 0,
+    approx: bool = False,
+    recall_target: float = 0.99,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact top-k of a (Q, N) score matrix computed in gallery tiles.
+    """Top-k of a (Q, N) score matrix computed in gallery tiles.
 
     Args:
       queries: (Q, C); gallery: (N, C).  N is padded up to a multiple of
@@ -50,6 +55,13 @@ def pairwise_topk(
         (returns negative squared distance).
       mask_self: if True, gallery index ``query_offset + q`` is masked to -100
         for query q (self-retrieval exclusion, eval_cvt_diml.py:327).
+      approx: per-block selection via TPU ``lax.approx_max_k`` (the MIPS
+        bucketed-reduction hardware path) instead of exact ``lax.top_k``; the
+        cross-block merge stays exact, so only the per-block top-k boundary
+        is approximate.  Default False — the faiss-``IndexFlat`` parity
+        contract (SURVEY.md 2.10) is exact search.  Measured on a v5e at SOP
+        scale (60480 x 60480, k=128): exact 5.9 s, approx 2.4 s with
+        empirical recall 1.0000 at ``recall_target=0.99``.
 
     Returns (values (Q, k), indices (Q, k)) sorted descending.
     """
@@ -77,8 +89,21 @@ def pairwise_topk(
         s = jnp.where(valid[None, :], s, neg_inf)
         if mask_self:
             s = jnp.where(gidx[None, :] == qids[:, None], -100.0, s)
-        cat_vals = jnp.concatenate([vals, s], axis=1)
-        cat_inds = jnp.concatenate([inds, jnp.broadcast_to(gidx[None, :], s.shape)], axis=1)
+        if approx:
+            # select within the fresh block on the fast path, then merge the
+            # two already-small sorted heads exactly (2k wide)
+            kb = min(k, block_size)
+            bv, bsel = jax.lax.approx_max_k(s, kb, recall_target=recall_target)
+            bi = jnp.take_along_axis(
+                jnp.broadcast_to(gidx[None, :], s.shape), bsel, axis=1
+            )
+            cat_vals = jnp.concatenate([vals, bv], axis=1)
+            cat_inds = jnp.concatenate([inds, bi], axis=1)
+        else:
+            cat_vals = jnp.concatenate([vals, s], axis=1)
+            cat_inds = jnp.concatenate(
+                [inds, jnp.broadcast_to(gidx[None, :], s.shape)], axis=1
+            )
         new_vals, sel = jax.lax.top_k(cat_vals, k)
         new_inds = jnp.take_along_axis(cat_inds, sel, axis=1)
         return new_vals, new_inds
