@@ -168,3 +168,35 @@ def test_rerank_evaluate_auto_fuses_partial_ot():
         assert abs(res_fused[m][8] - res_xla[m][8]) < 1e-6, (
             m, res_fused[m], res_xla[m],
         )
+
+
+def test_fused_qg_matches_xla_separate_banks():
+    """Query != gallery variant (MSLS val semantics, val.py:162-187): the
+    fused kernel must match the per-query XLA calc_similarity with the MSLS
+    default flags (use_minus + cls_token + temperature 0.1)."""
+    from vit_reranking_tpu.ops.rerank_pallas import fused_featvit_rerank_scores_qg
+
+    rng = np.random.default_rng(3)
+    Nq, Ng, K, C, R = 12, 40, 8, 24, 49
+    qb = rng.standard_normal((Nq, C, R)).astype(np.float32)
+    qb /= np.linalg.norm(qb, axis=1, keepdims=True)
+    gb = rng.standard_normal((Ng, C, R)).astype(np.float32)
+    gb /= np.linalg.norm(gb, axis=1, keepdims=True)
+    qc = qb.mean(-1); qc /= np.linalg.norm(qc, -1, keepdims=True)
+    gc = gb.mean(-1); gc /= np.linalg.norm(gc, -1, keepdims=True)
+    top = np.argsort(-(qc @ gc.T), 1)[:, :K].astype(np.int32)
+    qb_j, qc_j, gb_j, gc_j, top_j = map(jnp.asarray, (qb, qc, gb, gc, top))
+
+    flags = dict(use_minus=True, use_cls_token=True, temperature=0.1)
+    out = np.asarray(fused_featvit_rerank_scores_qg(
+        qb_j, qc_j, gb_j, gc_j, top_j, query_tile=8, interpret=True, **flags
+    ))
+
+    def one(i):
+        s, _ = calc_similarity(
+            qb_j[i], qc_j[i], gb_j[top_j[i]], gc_j[top_j[i]], stage=1, **flags
+        )
+        return s
+
+    ref = np.asarray(jax.vmap(one)(jnp.arange(Nq)))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

@@ -75,8 +75,13 @@ def main(argv=None):
                 state, m = step_fn(state, images_d, labels_d, sub_d)
             else:
                 state, m = step_fn(state, batch[0], batch[1], sub)
-            epoch_losses.append(float(m["loss"]))
+            # keep the device scalar — float() here would force a host sync
+            # every step and serialize the pipeline (reference logs grads per
+            # step too, train_baseline.py:217-220, and pays a full GPU->CPU
+            # copy for it; we drain once per epoch instead)
+            epoch_losses.append(m["loss"])
             step += 1
+        epoch_losses = [float(x) for x in epoch_losses]
         logger.log(
             "Train",
             {

@@ -90,7 +90,8 @@ def main(argv=None):
                 cross_params, loss_params, opt_state, embeds, tokens,
                 jnp.asarray(lab), sub,
             )
-            losses_e.append(float(loss))
+            losses_e.append(loss)  # device scalar; drained per epoch
+        losses_e = [float(x) for x in losses_e]
         mean_loss = float(np.mean(losses_e))
         logger.log("Train", {"loss": mean_loss}, epoch)
         print(f"epoch {epoch}: loss={mean_loss:.4f} ({time.time()-t0:.1f}s)")

@@ -93,7 +93,8 @@ def main(argv=None):
                 state, m = step_fn(state, images_d, labels_d, sub_d)
             else:
                 state, m = step_fn(state, jnp.asarray(images), jnp.asarray(lab), sub)
-            epoch_losses.append(float(m["loss"]))
+            epoch_losses.append(m["loss"])  # device scalar; drained per epoch
+        epoch_losses = [float(x) for x in epoch_losses]
         logger.log("Train", {"loss": float(np.mean(epoch_losses))}, epoch)
         print(f"epoch {epoch}: loss={np.mean(epoch_losses):.4f} ({time.time()-t0:.1f}s)")
 

@@ -274,7 +274,7 @@ def main(argv=None):
                     xbm_feats, xbm_pos, xbm_neg, xbm_on,
                 )
                 variables = {"params": params, "batch_stats": bstats}
-                epoch_losses.append(float(loss))
+                epoch_losses.append(loss)  # device scalar; drained per epoch
                 it_count += 1
                 if xbm is not None:
                     # enqueue the db-side embeddings (positives + negatives)
@@ -285,6 +285,7 @@ def main(argv=None):
                         + [[i for it in items for i in it[3][2:]]]
                     ).astype(np.int64)
                     xbm.enqueue(emb_np[nq:], db_idx)
+        epoch_losses = [float(x) for x in epoch_losses]
         print(
             f"epoch {epoch}: loss={np.mean(epoch_losses):.4f} "
             f"({len(epoch_losses)} steps, {time.time()-t0:.1f}s)"

@@ -119,13 +119,36 @@ def msls_val(
             Keff = min(K, dbEnd)
             top = preds[:, :Keff]
 
-            def one(i):
-                s, _ = calc_similarity(
-                    qD[i], qF[i], dbD[top[i]], dbF[top[i]], stage=1, **flags
-                )
-                return s
+            use_fused = flags.get("use_ot", True) and (
+                flags.get("ot_part", 1.0) > 0.999 or Keff <= 128
+            )
+            if use_fused:
+                # fused Pallas kernel, query != gallery banks (verified
+                # score-equal to the XLA path, tests/test_rerank_pallas.py)
+                from ..ops.rerank_pallas import fused_featvit_rerank_scores_qg
 
-            ot = jax.vmap(one)(jnp.arange(qEnd))
+                ot = fused_featvit_rerank_scores_qg(
+                    qD, qF, dbD, dbF, top,
+                    query_tile=min(256, int(qEnd)),
+                    use_uniform=flags.get("use_uniform", False),
+                    use_inverse=flags.get("use_inverse", False),
+                    use_minus=flags.get("use_minus", False),
+                    use_soft=flags.get("use_soft", False),
+                    use_cls_token=flags.get("use_cls_token", True),
+                    temperature=flags.get("temperature", 1.0),
+                    ot_temp=flags.get("ot_temp", 0.05),
+                    ot_part=flags.get("ot_part", 1.0),
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+
+                def one(i):
+                    s, _ = calc_similarity(
+                        qD[i], qF[i], dbD[top[i]], dbF[top[i]], stage=1, **flags
+                    )
+                    return s
+
+                ot = jax.vmap(one)(jnp.arange(qEnd))
             adj = ot + jnp.take_along_axis(sim, top, axis=1)
             order = jnp.argsort(-adj, axis=1)
             rerank = jnp.take_along_axis(top, order, axis=1)

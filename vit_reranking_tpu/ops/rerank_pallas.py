@@ -357,6 +357,57 @@ def fused_featvit_rerank_scores(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "iters", "thresh", "ot_temp", "ot_part", "query_tile", "use_uniform",
+        "use_inverse", "use_minus", "use_soft", "use_cls_token", "temperature",
+        "interpret",
+    ),
+)
+def fused_featvit_rerank_scores_qg(
+    query_bank: jnp.ndarray,
+    query_centers: jnp.ndarray,
+    gallery_bank: jnp.ndarray,
+    gallery_centers: jnp.ndarray,
+    top_inds: jnp.ndarray,
+    ot_temp: float = 0.05,
+    iters: int = 100,
+    thresh: float = 1e-1,
+    query_tile: int = 256,
+    use_uniform: bool = False,
+    use_inverse: bool = False,
+    use_minus: bool = False,
+    use_soft: bool = False,
+    use_cls_token: bool = False,
+    temperature: float = 1.0,
+    ot_part: float = 1.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Query != gallery variant of :func:`fused_featvit_rerank_scores`
+    (MSLS place recognition: distinct query/database sets, reference
+    training_tools/val.py:162-187).  top_inds (Nq, K) index the gallery."""
+    Nq = query_bank.shape[0]
+    K = top_inds.shape[1]
+    P = PAIR_LANES
+    nt = -(-Nq // query_tile)
+    idx_all = (jnp.arange(nt * query_tile) % Nq).reshape(nt, query_tile)
+
+    def tile(idx):
+        return _featvit_tile(
+            gallery_bank, gallery_centers, top_inds, idx,
+            iters=iters, thresh=thresh, ot_temp=ot_temp, ot_part=ot_part,
+            use_uniform=use_uniform, use_inverse=use_inverse,
+            use_minus=use_minus, use_soft=use_soft,
+            use_cls_token=use_cls_token, temperature=temperature,
+            interpret=interpret, P=P,
+            query_bank=query_bank, query_centers=query_centers,
+        )
+
+    out = jax.lax.map(tile, idx_all)
+    return out.reshape(nt * query_tile, K)[:Nq]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "iters", "thresh", "ot_temp", "ot_part", "use_uniform", "use_inverse",
         "use_minus", "use_soft", "use_cls_token", "temperature", "interpret", "P",
     ),
@@ -365,12 +416,17 @@ def _featvit_tile(
     feature_bank, centers, top_inds, idx,
     iters, thresh, ot_temp, ot_part, use_uniform, use_inverse, use_minus,
     use_soft, use_cls_token, temperature, interpret, P,
+    query_bank=None, query_centers=None,
 ):
     from .similarity import cross_attention_marginals, l2_normalize
 
+    # query==gallery (DML eval) unless a separate query bank is given
+    # (MSLS: distinct query/database sets, training_tools/val.py:74-118)
+    if query_bank is None:
+        query_bank, query_centers = feature_bank, centers
     K = top_inds.shape[1]
     R = feature_bank.shape[2]
-    anchors = feature_bank[idx]  # (T, C, R)
+    anchors = query_bank[idx]  # (T, C, R)
     fb_g = feature_bank[top_inds[idx]]  # (T, K, C, R)
     c_g = centers[top_inds[idx]]  # (T, K, C)
 
@@ -387,7 +443,7 @@ def _featvit_tile(
         )
         return u, v
 
-    u, v = jax.vmap(marg)(anchors, centers[idx], fb_g, c_g)
+    u, v = jax.vmap(marg)(anchors, query_centers[idx], fb_g, c_g)
     return fused_rerank_tile(
         anchors, fb_g, u, v,
         iters=iters, thresh=thresh, ot_temp=ot_temp, ot_part=ot_part,
