@@ -52,3 +52,42 @@ def test_query_sharded_rerank_matches_single_device():
     # result is actually sharded over 8 devices
     assert len(out.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_gallery_sharded_topk_matches_single_device():
+    """Distributed brute-force kNN: gallery sharded over the 8-device data
+    axis, exact all_gather merge == single-device pairwise_topk."""
+    from vit_reranking_tpu.parallel.sharded_topk import sharded_pairwise_topk
+
+    mesh = create_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(1)
+    Q, N, C, K = 24, 64, 16, 10
+    g = rng.standard_normal((N, C)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=-1, keepdims=True)
+    q = g[:Q]
+
+    v0, i0 = pairwise_topk(jnp.asarray(q), jnp.asarray(g), k=K, mask_self=True)
+    v1, i1 = sharded_pairwise_topk(
+        mesh, jnp.asarray(q), jnp.asarray(g), k=K, mask_self=True
+    )
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6, atol=1e-7)
+    assert np.array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_gallery_sharded_topk_padded_rows():
+    """N not a multiple of the mesh: wrap in pad_to_multiple + n_valid."""
+    from vit_reranking_tpu.parallel.mesh import pad_to_multiple
+    from vit_reranking_tpu.parallel.sharded_topk import sharded_pairwise_topk
+
+    mesh = create_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(2)
+    Q, N, C, K = 8, 61, 16, 5
+    g = rng.standard_normal((N, C)).astype(np.float32)
+    q = rng.standard_normal((Q, C)).astype(np.float32)
+    gp, n_real = pad_to_multiple(jnp.asarray(g), 8, axis=0)
+    assert n_real == N
+
+    v0, i0 = pairwise_topk(jnp.asarray(q), jnp.asarray(g), k=K)
+    v1, i1 = sharded_pairwise_topk(mesh, jnp.asarray(q), gp, k=K, n_valid=N)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6, atol=1e-7)
+    assert np.array_equal(np.asarray(i0), np.asarray(i1))
