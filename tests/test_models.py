@@ -124,6 +124,18 @@ def test_netvlad_layer_properties():
     vl, vg = m.apply(v, x, method="local_global")
     assert vl.shape == (2, 64, 3, 3)
     assert vg.shape == (2, 64)
+    # pix_map: un-summed residual maps; summing over space must reproduce
+    # the unnormalized VLAD (reference netvlad.py:130-146 comment)
+    pm = m.apply(v, x, method="pix_map", keep_dim=True)
+    assert pm.shape == (2, 4, 16, 3, 3)
+    res = m.apply(v, x, method="residuals")
+    np.testing.assert_allclose(
+        np.asarray(pm.sum((-1, -2))), np.asarray(res.sum(-1)), rtol=1e-5, atol=1e-6
+    )
+    # cluster_weights: a softmax over clusters at every pixel
+    cw = m.apply(v, x, method="cluster_weights")
+    assert cw.shape == (2, 4, 3, 3)
+    np.testing.assert_allclose(np.asarray(cw.sum(1)), 1.0, rtol=1e-5)
 
 
 def test_cross_net():

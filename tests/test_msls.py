@@ -122,9 +122,12 @@ def test_train_msls_smoke_synthetic():
         "--dataset", "synthetic", "--arch", "resnet50_normalize",
         "--embed_dim", "16", "--n_epochs", "1", "--evalevery", "1",
         "--nNeg", "2", "--lr", "0.0001", "--save_path", "/tmp/msls_runs",
-        "--group", "test", "--bs", "4",
+        "--group", "test", "--bs", "4", "--track_drift",
     ])
     assert 0.0 <= r5 <= 1.0
+    # drift tracking left per-subcache val-feature snapshots behind
+    import glob
+    assert glob.glob("/tmp/msls_runs/**/feat_*.npz", recursive=True)
 
 
 def test_msls_val_with_rerank(msls):

@@ -216,6 +216,7 @@ def main(argv=None):
 
     best_r5 = -1.0
     it_count = 0
+    prev_drift_feat = None
     for epoch in range(opt.start_epoch, opt.n_epochs):
         train_set.new_epoch()
         epoch_losses = []
@@ -230,6 +231,24 @@ def main(argv=None):
                 )[0]
             )
             train_set.update_subcache(embed_fn, opt.embed_dim)
+            if getattr(opt, "track_drift", False):
+                # per-subcache feature-drift MSE vs the previous subcache's
+                # val-query embeddings (reference train_epoch_KD_xbm.py:276-303:
+                # embed, save feat_<i>.npz, MSE vs feat_<i-1>.npz, log 'Drift')
+                feats = []
+                for n in val_set.qImages:
+                    arr = val_set.load_image_array(n)
+                    if arr.ndim == 3:  # single frame
+                        feats.append(embed_fn(np.stack([arr]))[0])
+                    else:  # sequence: mean of frame embeddings
+                        feats.append(embed_fn(arr).mean(0))
+                cur = np.stack(feats)
+                np.savez(f"{logger.run_dir}/feat_{it_count}.npz", qFeat=cur)
+                if prev_drift_feat is not None:
+                    mse = float(np.mean((cur - prev_drift_feat) ** 2))
+                    logger.log("Drift", {"feat_drift_mse": mse}, it_count)
+                    print(f"  subcache drift MSE: {mse:.6f}")
+                prev_drift_feat = cur
             trips = list(range(len(train_set)))
             np.random.shuffle(trips)
             for step_i, s in enumerate(range(0, len(trips) - B + 1, B)):

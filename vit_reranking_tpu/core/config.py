@@ -222,6 +222,9 @@ class Config:
     # stage-0 retrieval via TPU approx_max_k per gallery block (~2.4x at SOP
     # scale, empirical recall 1.0 at target 0.99); default exact = faiss parity
     approx_topk: bool = False
+    # per-subcache val-query feature-drift MSE tracking (MSLS; reference
+    # train_epoch_KD_xbm.py:276-303 — embed, save feat_<i>.npz, log MSE)
+    track_drift: bool = False
     pretrained_ckpt: Optional[str] = None  # torch checkpoint for converters
 
     def replace(self, **kw) -> "Config":

@@ -85,6 +85,8 @@ class RunLogger:
             self._online = None
 
     def log(self, sub: str, metrics: Dict[str, float], step: int):
+        if sub not in self.history:  # new group (e.g. 'Drift'), lazily added
+            self.history[sub] = defaultdict(list)
         for k, v in metrics.items():
             self.history[sub][k].append(float(v))
         online = getattr(self, "_online", None)

@@ -62,6 +62,25 @@ class NetVLAD(nn.Module):
         vlad = vlad.reshape(vlad.shape[0], -1)
         return l2norm(vlad), None
 
+    def pix_map(self, x, keep_dim: bool = False):
+        """Per-pixel soft-assigned residual maps, un-summed — reference
+        netvlad.get_pix_map (netvlad.py:130-146): (B, K, D, H, W), or
+        (B, K*D, H, W) when ``keep_dim`` is False."""
+        B, H, W, D = x.shape
+        res = self.residuals(x)  # (B, K, D, L)
+        feats = res.reshape(B, self.num_clusters, D, H, W)
+        if not keep_dim:
+            feats = feats.reshape(B, self.num_clusters * D, H, W)
+        return feats
+
+    def cluster_weights(self, x):
+        """Softmax soft-assignment maps (B, K, H, W) — reference
+        netvlad.get_cluster_weights (netvlad.py:179-186)."""
+        if self.normalize_input:
+            x = _norm_ch(x, axis=-1)
+        soft = jax.nn.softmax(self.assign(x), axis=-1)  # (B, H, W, K)
+        return soft.transpose(0, 3, 1, 2)
+
     def local_global(self, x):
         """(vlad_local (B, K*D, H, W), vlad_global (B, K*D)) — reference
         netvlad.get_local_global (netvlad.py:148-177)."""
