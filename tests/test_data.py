@@ -260,3 +260,21 @@ def test_advanced_sampler_methods():
             assert np.all(s.storage[0] == 0)
             s.full_storage_update(emb)
             assert np.all(s.storage == emb)
+
+
+def test_advanced_sampler_fresh_batches_each_epoch():
+    """Non-storage AdvancedSampler methods must re-draw every epoch
+    (reference datasampler/samplers.py:152-161 samples anew per __iter__)."""
+    import types
+    from vit_reranking_tpu.data.samplers import AdvancedSampler
+
+    image_list = [(f"im{i}.jpg", i, i % 4) for i in range(32)]
+    image_dict = {}
+    for p, i, c in image_list:
+        image_dict.setdefault(c, []).append((p, i))
+    opt = types.SimpleNamespace(bs=8, samples_per_class=2, seed=0)
+    s = AdvancedSampler(opt, image_dict, image_list, method="semi_class_random")
+    e1 = list(iter(s))
+    e2 = list(iter(s))
+    assert len(e1) == len(e2) == len(s)
+    assert e1 != e2, "epochs must not replay identical batches"

@@ -82,8 +82,11 @@ def test_gallery_sharded_topk_padded_rows():
     mesh = create_mesh(jax.devices()[:8])
     rng = np.random.default_rng(2)
     Q, N, C, K = 8, 61, 16, 5
-    g = rng.standard_normal((N, C)).astype(np.float32)
-    q = rng.standard_normal((Q, C)).astype(np.float32)
+    # force ALL real scores negative (q > 0 elementwise, g < 0): a zero pad
+    # row (ip = 0) would displace real candidates from the last shard's head
+    # if it were masked only after selection
+    g = (-np.abs(rng.standard_normal((N, C))) - 0.1).astype(np.float32)
+    q = (np.abs(rng.standard_normal((Q, C))) + 0.1).astype(np.float32)
     gp, n_real = pad_to_multiple(jnp.asarray(g), 8, axis=0)
     assert n_real == N
 

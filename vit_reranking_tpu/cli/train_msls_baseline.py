@@ -105,6 +105,18 @@ def _agg_frames(e, L):
     return e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-12)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _mining_embed(model):
+    """Jitted global-descriptor forward for subcache mining, cached per
+    model so every subcache reuses one compiled executable."""
+    return jax.jit(
+        lambda variables, imgs: model.apply(variables, imgs, train=False)[0]
+    )
+
+
 def make_extract_fn(model, variables, batch: int, with_dense: bool, grid_size: int = 7):
     from ..engine.extract import make_embed_fn
 
@@ -222,27 +234,28 @@ def main(argv=None):
         epoch_losses = []
         t0 = time.time()
         for sub in range(train_set.nCacheSubset):
-            # mining with the CURRENT model (train_epoch.py:85)
+            # mining with the CURRENT model (train_epoch.py:85); the forward
+            # is jitted ONCE (module-level cache keyed on the model) and the
+            # current params flow in as arguments — _embed_paths feeds it
+            # fixed (32, H, W, 3) batches so it never recompiles
+            mine_vars = {
+                "params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {}),
+            }
             embed_fn = lambda imgs: np.asarray(
-                model.apply(
-                    {"params": variables["params"],
-                     "batch_stats": variables.get("batch_stats", {})},
-                    jnp.asarray(imgs), train=False,
-                )[0]
+                _mining_embed(model)(mine_vars, jnp.asarray(imgs))
             )
             train_set.update_subcache(embed_fn, opt.embed_dim)
             if getattr(opt, "track_drift", False):
                 # per-subcache feature-drift MSE vs the previous subcache's
                 # val-query embeddings (reference train_epoch_KD_xbm.py:276-303:
                 # embed, save feat_<i>.npz, MSE vs feat_<i-1>.npz, log 'Drift')
-                feats = []
-                for n in val_set.qImages:
-                    arr = val_set.load_image_array(n)
-                    if arr.ndim == 3:  # single frame
-                        feats.append(embed_fn(np.stack([arr]))[0])
-                    else:  # sequence: mean of frame embeddings
-                        feats.append(embed_fn(arr).mean(0))
-                cur = np.stack(feats)
+                from ..engine.msls_val import _embed_names
+
+                cur, _ = _embed_names(
+                    val_set, list(val_set.qImages),
+                    lambda imgs: (embed_fn(imgs), None), batch=16,
+                )
                 np.savez(f"{logger.run_dir}/feat_{it_count}.npz", qFeat=cur)
                 if prev_drift_feat is not None:
                     mse = float(np.mean((cur - prev_drift_feat) ** 2))

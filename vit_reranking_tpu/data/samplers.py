@@ -525,7 +525,12 @@ class AdvancedSampler:
     def __iter__(self):
         if not self.epoch_indices:
             self.precompute_indices()
-        for b in self.epoch_indices:
+        batches, self.epoch_indices = self.epoch_indices, []
+        # epoch_indices are consumed: the next epoch re-draws fresh random
+        # batches (reference AdvancedSampler.__iter__ samples anew each
+        # epoch, datasampler/samplers.py:152-161) unless the training loop
+        # explicitly precomputes again (the storage-based flow)
+        for b in batches:
             yield b
 
     def __len__(self):

@@ -196,8 +196,10 @@ def extract_features_device(
     )
     N = images.shape[0]
     pad = (-N) % batch_size
-    if pad:  # wrap-pad the tail to a whole batch; cropped below
-        images = jnp.concatenate([images, images[:pad]], axis=0)
+    if pad:  # wrap-pad the tail to a whole batch; cropped below.  take()
+        # handles pad > N (datasets smaller than one batch), where a plain
+        # images[:pad] would come up short
+        images = jnp.take(images, jnp.arange(N + pad) % N, axis=0)
     out = extract_all(variables, images)
     if pad:
         out = {k: v[:N] for k, v in out.items()}

@@ -119,8 +119,10 @@ def msls_val(
             Keff = min(K, dbEnd)
             top = preds[:, :Keff]
 
+            from ..ops.rerank_pallas import PAIR_LANES
+
             use_fused = flags.get("use_ot", True) and (
-                flags.get("ot_part", 1.0) > 0.999 or Keff <= 128
+                flags.get("ot_part", 1.0) > 0.999 or Keff <= PAIR_LANES
             )
             if use_fused:
                 # fused Pallas kernel, query != gallery banks (verified

@@ -45,6 +45,7 @@ def pairwise_topk(
     query_offset: int | jnp.ndarray = 0,
     approx: bool = False,
     recall_target: float = 0.99,
+    n_valid: int | jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k of a (Q, N) score matrix computed in gallery tiles.
 
@@ -55,6 +56,10 @@ def pairwise_topk(
         (returns negative squared distance).
       mask_self: if True, gallery index ``query_offset + q`` is masked to -100
         for query q (self-retrieval exclusion, eval_cvt_diml.py:327).
+      n_valid: treat only the first ``n_valid`` gallery rows as real (may be
+        traced); rows past it score -inf BEFORE selection.  Used by the
+        sharded wrapper, where externally padded rows must not displace real
+        candidates from a shard's head.
       approx: per-block selection via TPU ``lax.approx_max_k`` (the MIPS
         bucketed-reduction hardware path) instead of exact ``lax.top_k``; the
         cross-block merge stays exact, so only the per-block top-k boundary
@@ -78,6 +83,7 @@ def pairwise_topk(
     init_vals = jnp.full((Q, k), neg_inf, jnp.float32)
     init_inds = jnp.zeros((Q, k), jnp.int32)
     qids = jnp.arange(Q, dtype=jnp.int32) + query_offset
+    nv = N if n_valid is None else jnp.minimum(n_valid, N)
 
     def body(b, carry):
         vals, inds = carry
@@ -85,7 +91,7 @@ def pairwise_topk(
         blk = jax.lax.dynamic_slice_in_dim(gallery, start, block_size, axis=0)
         s = _scores_block(queries, blk, metric)
         gidx = start + jnp.arange(block_size, dtype=jnp.int32)
-        valid = gidx < N
+        valid = gidx < nv
         s = jnp.where(valid[None, :], s, neg_inf)
         if mask_self:
             s = jnp.where(gidx[None, :] == qids[:, None], -100.0, s)

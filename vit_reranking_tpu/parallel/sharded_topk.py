@@ -74,13 +74,14 @@ def sharded_pairwise_topk(
     def inner(q, g_local):
         shard = jax.lax.axis_index(DATA_AXIS)
         offs = shard * local_n
+        # pad rows (global index >= n_valid) must be -inf BEFORE the local
+        # selection — masking after top-k would let a zero-scoring pad row
+        # displace a real negative-scoring candidate from the shard's head
         v, i = pairwise_topk(
             q, g_local, k=k_local, metric=metric, block_size=block_size,
-            mask_self=mask_self, query_offset=-offs,
+            mask_self=mask_self, query_offset=-offs, n_valid=nv - offs,
         )
         gi = i + offs  # globalize the shard-local indices
-        # drop global pad rows (gallery padded up to a multiple of ndev)
-        v = jnp.where(gi < nv, v, -jnp.inf)
         # exact merge of the ndev sorted heads over ICI
         v_all = jax.lax.all_gather(v, DATA_AXIS, axis=1, tiled=True)  # (Q, ndev*k)
         i_all = jax.lax.all_gather(gi, DATA_AXIS, axis=1, tiled=True)
