@@ -94,3 +94,34 @@ def test_gallery_sharded_topk_padded_rows():
     v1, i1 = sharded_pairwise_topk(mesh, jnp.asarray(q), gp, k=K, n_valid=N)
     np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-6, atol=1e-7)
     assert np.array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_sharded_rerank_evaluate_matches_single_device():
+    """The full distributed eval engine (gallery-sharded kNN -> query-sharded
+    OT rerank -> metrics) must reproduce rerank_evaluate exactly."""
+    from vit_reranking_tpu.engine.rerank_eval import rerank_evaluate
+    from vit_reranking_tpu.engine.sharded_eval import sharded_rerank_evaluate
+
+    mesh = create_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(5)
+    N, C, R, K = 60, 16, 9, 8  # N % 8 != 0: exercises both pad paths
+    labels = np.arange(N) % 6
+    base = rng.standard_normal((6, C, R)).astype(np.float32)
+    fb = base[labels] + 0.4 * rng.standard_normal((N, C, R)).astype(np.float32)
+    fb = np.asarray(fb / np.linalg.norm(fb, axis=1, keepdims=True), np.float32)
+    centers = fb.mean(-1)
+    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+    roll = np.abs(rng.standard_normal((N, R))).astype(np.float32)
+    fb_j, c_j, r_j = map(jnp.asarray, (fb, centers, roll))
+
+    ref = rerank_evaluate(
+        fb_j, c_j, labels, rollout=r_j, trunc_nums=(0, K), method="rollout",
+        flags={"use_ot": True}, use_fused=False,
+    )
+    out = sharded_rerank_evaluate(
+        mesh, fb_j, c_j, labels, rollout=r_j, trunc_nums=(0, K),
+        method="rollout", flags={"use_ot": True},
+    )
+    for m in ("r1", "rp", "mapr"):
+        for t in (0, K):
+            assert abs(ref[m][t] - out[m][t]) < 1e-4, (m, t, ref[m][t], out[m][t])

@@ -1,0 +1,140 @@
+"""Distributed rerank evaluation — the whole eval pipeline over a device mesh.
+
+Production shape of the eval at pod scale (SURVEY.md sections 2.10/5): the
+single-chip engine (engine/rerank_eval.py) already never materializes N x N,
+but every stage can also distribute over the ``data`` mesh axis:
+
+  stage 0  gallery-sharded exact kNN        parallel/sharded_topk.py
+           (each device scores its gallery shard, all_gather of the
+           per-shard heads over ICI, exact merge)
+  stage 1  query-sharded OT rerank          queries split over devices,
+           (embarrassingly parallel)        bank replicated per device
+  metrics  computed on the merged ranks     one reduction at the end
+
+The rerank stage uses the XLA reference path inside the sharded program (the
+fused Pallas kernel is a single-chip optimization; per-device query tiles are
+K x R x R-small, and keeping the distributed program pure-XLA keeps it
+portable across mesh backends).  Results are identical to the single-device
+``rerank_evaluate`` — pinned by tests/test_sharded_rerank.py on the 8-device
+CPU mesh.
+
+The reference has no distributed evaluation at all (single-process
+nn.DataParallel, train_baseline.py:88); this module is the TPU-native
+replacement for scaling it.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.similarity import calc_similarity, calc_similarity_rollout
+from ..parallel.mesh import DATA_AXIS, pad_to_multiple
+from ..parallel.sharded_topk import sharded_pairwise_topk
+from .metrics import metrics_from_ranks
+
+
+def sharded_rerank_evaluate(
+    mesh: Mesh,
+    feature_bank: jnp.ndarray,
+    feature_bank_center: jnp.ndarray,
+    labels,
+    rollout: Optional[jnp.ndarray] = None,
+    trunc_nums: Sequence[int] = (0, 100),
+    method: str = "rollout",
+    flags: Optional[dict] = None,
+    head_k: Optional[int] = None,
+) -> Dict[str, Dict[int, float]]:
+    """Mesh-distributed version of ``rerank_evaluate`` (same result contract:
+    {'r1'|'rp'|'mapr': {trunc: percent}}).
+
+    feature_bank (N, C, R) / centers (N, C) / rollout (N, R) may live on any
+    devices; they are placed query-sharded (P('data')) for the rerank and fed
+    shard-wise to the distributed kNN.
+    """
+    flags = dict(flags or {})
+    N = feature_bank.shape[0]
+    labels = jnp.asarray(labels)
+    ndev = mesh.shape[DATA_AXIS]
+
+    _, counts = np.unique(np.asarray(labels), return_counts=True)
+    max_pos = int(counts.max())
+    K = int(max(trunc_nums))
+    Kmax = head_k or min(N, max(max_pos, K, 1) + 1)
+    Kmax = max(Kmax, K)
+
+    # --- stage 0: gallery-sharded exact kNN ------------------------------
+    gal, n_real = pad_to_multiple(feature_bank_center, ndev, axis=0)
+    vals, approx_tops = sharded_pairwise_topk(
+        mesh, feature_bank_center, gal, k=Kmax, mask_self=True, n_valid=n_real
+    )
+
+    results = {m: {} for m in ("r1", "rp", "mapr")}
+
+    if K > 0:
+        top_inds = approx_tops[:, :K]
+        top_vals = vals[:, :K]
+
+        def _rerank_one(anchor, center, aux, inds):
+            if method == "rollout":
+                s, _ = calc_similarity_rollout(
+                    center, anchor, aux,
+                    feature_bank_center[inds], feature_bank[inds], rollout[inds],
+                    stage=1,
+                    use_uniform=flags.get("use_uniform", False),
+                    use_ot=flags.get("use_ot", True),
+                    ot_part=flags.get("ot_part", 1.0),
+                )
+            else:
+                s, _ = calc_similarity(
+                    anchor, center, feature_bank[inds], feature_bank_center[inds],
+                    stage=1,
+                    use_uniform=flags.get("use_uniform", False),
+                    use_inverse=flags.get("use_inverse", False),
+                    temperature=flags.get("temperature", 1.0),
+                    use_cls_token=flags.get("use_cls_token", False),
+                    ot_temp=flags.get("ot_temp", 0.05),
+                    use_minus=flags.get("use_minus", False),
+                    ot_part=flags.get("ot_part", 1.0),
+                )
+            return s
+
+        def rerank_all(fb_q, c_q, aux_q, top_q):
+            return jax.vmap(_rerank_one)(fb_q, c_q, aux_q, top_q)
+
+        # queries sharded over data; the bank stays replicated (closure)
+        qpad = (-N) % ndev
+        wrap = jnp.arange(N + qpad) % N
+        aux_bank = rollout if rollout is not None else jnp.zeros((N, 1))
+        fb_s = jax.device_put(
+            feature_bank[wrap], NamedSharding(mesh, P(DATA_AXIS, None, None))
+        )
+        c_s = jax.device_put(
+            feature_bank_center[wrap], NamedSharding(mesh, P(DATA_AXIS, None))
+        )
+        a_s = jax.device_put(aux_bank[wrap], NamedSharding(mesh, P(DATA_AXIS, None)))
+        t_s = jax.device_put(top_inds[wrap], NamedSharding(mesh, P(DATA_AXIS, None)))
+        with mesh:
+            ot_sims = jax.jit(
+                rerank_all, out_shardings=NamedSharding(mesh, P(DATA_AXIS, None))
+            )(fb_s, c_s, a_s, t_s)[:N]
+
+        order = jnp.argsort(-(ot_sims + top_vals), axis=1)
+        reranked = jnp.take_along_axis(top_inds, order, axis=1)
+
+    for trunc in trunc_nums:
+        if trunc == 0:
+            final = approx_tops
+        else:
+            final = jnp.concatenate(
+                [reranked[:, :trunc], approx_tops[:, trunc:]], axis=1
+            )
+        per_q = metrics_from_ranks(final, labels, labels)
+        for m in results:
+            results[m][trunc] = float(jnp.mean(per_q[m])) * 100.0
+
+    return results
