@@ -200,3 +200,78 @@ def test_fused_qg_matches_xla_separate_banks():
 
     ref = np.asarray(jax.vmap(one)(jnp.arange(Nq)))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "flags",
+    [dict(scale=1.0 / 8.0), dict(scale=1.0), dict(scale=1.0 / 8.0, use_exp=True, temperature=0.5),
+     dict(scale=1.0, use_uniform=True)],
+)
+def test_fused_qk_matches_xla(flags):
+    """The qk method (attention-map OT kernel + feature-similarity score,
+    reference calc_similarity_vit/cvt) through the separate-cost kernel input
+    must match the per-query XLA path."""
+    from vit_reranking_tpu.ops.rerank_pallas import fused_qk_rerank_scores
+    from vit_reranking_tpu.ops.similarity import calc_similarity_qk
+
+    rng = np.random.default_rng(4)
+    N, K, C, R, H, D = 16, 8, 24, 49, 3, 16
+    fb = rng.standard_normal((N, C, R)).astype(np.float32)
+    fb /= np.linalg.norm(fb, axis=1, keepdims=True)
+    centers = fb.mean(-1)
+    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+    q = rng.standard_normal((N, H, R + 1, D)).astype(np.float32)
+    k = rng.standard_normal((N, H, R + 1, D)).astype(np.float32)
+    sims = centers @ centers.T
+    np.fill_diagonal(sims, -100)
+    top = np.argsort(-sims, 1)[:, :K].astype(np.int32)
+    fb_j, q_j, k_j, top_j, c_j = map(jnp.asarray, (fb, q, k, top, centers))
+
+    out = np.asarray(fused_qk_rerank_scores(
+        fb_j, q_j, k_j, top_j, query_tile=8, interpret=True, **flags
+    ))
+
+    def one(i):
+        s, _ = calc_similarity_qk(
+            c_j[i], fb_j[i], q_j[i], c_j[top_j[i]], fb_j[top_j[i]],
+            k_j[top_j[i]], stage=1,
+            use_uniform=flags.get("use_uniform", False),
+            use_exp=flags.get("use_exp", False),
+            temperature=flags.get("temperature", 1.0),
+            scale=flags["scale"],
+        )
+        return s
+
+    ref = np.asarray(jax.vmap(one)(jnp.arange(N)))
+    # per-pair vs batch-mean exit granularity gives ~1e-5 value wiggle for
+    # full OT (documented, rank-identical); assert values close AND ranks equal
+    np.testing.assert_allclose(out, ref, rtol=5e-3, atol=1e-4)
+    assert np.array_equal(np.argsort(-out, axis=1), np.argsort(-ref, axis=1))
+
+
+def test_rerank_evaluate_qk_fused_vs_xla_metrics():
+    """Engine-level: method='qk' now auto-dispatches to the fused kernel;
+    metrics must agree with the XLA path."""
+    from vit_reranking_tpu.engine.rerank_eval import rerank_evaluate
+
+    rng = np.random.default_rng(6)
+    N, C, R, H, D, K = 48, 16, 49, 2, 12, 8
+    labels = np.arange(N) % 6
+    base = rng.standard_normal((6, C, R)).astype(np.float32)
+    fb = base[labels] + 0.5 * rng.standard_normal((N, C, R)).astype(np.float32)
+    fb = np.asarray(fb / np.linalg.norm(fb, axis=1, keepdims=True), np.float32)
+    centers = fb.mean(-1)
+    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+    q = rng.standard_normal((N, H, R + 1, D)).astype(np.float32)
+    k = rng.standard_normal((N, H, R + 1, D)).astype(np.float32)
+    fb_j, c_j, q_j, k_j = map(jnp.asarray, (fb, centers, q, k))
+
+    kwargs = dict(
+        rollout=q_j, rollout_g=k_j, trunc_nums=(0, K), method="qk",
+        flags={"use_ot": True, "qk_scale": 1.0 / 8.0}, query_block=16,
+    )
+    ref = rerank_evaluate(fb_j, c_j, labels, use_fused=False, **kwargs)
+    out = rerank_evaluate(fb_j, c_j, labels, use_fused=True, **kwargs)
+    for m in ("r1", "rp", "mapr"):
+        for t in (0, K):
+            assert abs(ref[m][t] - out[m][t]) < 0.2, (m, t, ref[m][t], out[m][t])

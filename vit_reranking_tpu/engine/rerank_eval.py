@@ -151,19 +151,31 @@ def rerank_evaluate(
         from ..ops.rerank_pallas import PAIR_LANES
 
         if use_fused is None:
-            use_fused = flags.get("use_ot", True) and method in (
-                "rollout",
-                "featvit",
-            ) and (ot_part > 0.999 or K <= PAIR_LANES)
+            use_fused = flags.get("use_ot", True) and (
+                (method in ("rollout", "featvit") and (ot_part > 0.999 or K <= PAIR_LANES))
+                or method == "qk"  # qk is full-OT only (no ot_part in its signature)
+            )
         interpret = jax.default_backend() != "tpu"
 
         if use_fused:
             from ..ops.rerank_pallas import (
                 fused_featvit_rerank_scores,
+                fused_qk_rerank_scores,
                 fused_rollout_rerank_scores,
             )
 
-            if method == "rollout":
+            if method == "qk":
+                # rollout/rollout_g slots carry the q/k projections
+                ot_sims = fused_qk_rerank_scores(
+                    feature_bank, rollout, rollout_g, top_inds,
+                    query_tile=query_block,
+                    use_uniform=flags.get("use_uniform", False),
+                    use_exp=flags.get("use_inverse", False),
+                    temperature=flags.get("temperature", 1.0),
+                    scale=flags.get("qk_scale", 1.0 / 8.0),
+                    interpret=interpret,
+                )
+            elif method == "rollout":
                 ot_sims = fused_rollout_rerank_scores(
                     feature_bank, feature_bank_center, rollout, top_inds,
                     query_tile=query_block,

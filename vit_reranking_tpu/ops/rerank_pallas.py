@@ -40,13 +40,24 @@ PAIR_LANES = 128  # pairs per grid step (P); multiple of 128 (tuned on v5e:
 
 
 def _sinkhorn_score_kernel(
-    S_ref, u_ref, v_ref, out_ref, *, iters, thresh, ot_temp, ot_part=1.0,
-    group_valid=None,
+    S_ref, u_ref, v_ref, *rest, iters, thresh, ot_temp, ot_part=1.0,
+    group_valid=None, has_cost=False,
 ):
+    """rest = (C_ref, out_ref) when ``has_cost`` — C carries a SEPARATE
+    cost/attention map for the OT kernel (the qk method builds K from the
+    pair's q·k attention, reference diml.py:235-258, while the score still
+    contracts against the feature similarity S) — else (out_ref,) and the
+    kernel derives from S itself."""
+    if has_cost:
+        C_ref, out_ref = rest
+        Km = jnp.exp(-(1.0 - C_ref[0]) / ot_temp)
+    else:
+        (out_ref,) = rest
     S = S_ref[0]  # (R_s, R_m, P)
     u = u_ref[0]  # (R_s, P)
     v = v_ref[0]  # (R_m, P)
-    Km = jnp.exp(-(1.0 - S) / ot_temp)
+    if not has_cost:
+        Km = jnp.exp(-(1.0 - S) / ot_temp)
 
     if ot_part <= 0.999:
         # partial OT via one dustbin row+col (reference diml.py:56-75): kernel
@@ -133,6 +144,7 @@ def sinkhorn_scores_packed(
     ot_part: float = 1.0,
     interpret: bool = False,
     group_valid: Optional[int] = None,
+    C_packed: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """sum(T * S) per pair from packed inputs.
 
@@ -142,34 +154,45 @@ def sinkhorn_scores_packed(
       group_valid: when set, each step is ONE query's candidates on lanes
         [0, group_valid) and the Sinkhorn early exit uses the batch-mean
         residual over those lanes (reference diml.py:50-52 semantics).
+      C_packed: optional separate similarity for the OT kernel
+        (K = exp(-(1-C)/temp)); the score still contracts against S.  Used
+        by the qk method, where K comes from the pair's q·k attention
+        (reference diml.py:235-258) while the score uses feature similarity.
     Returns: (nsteps, P) scores.
     """
     nsteps, Rs, Rm, P = S_packed.shape
+    has_cost = C_packed is not None
     kernel = functools.partial(
         _sinkhorn_score_kernel, iters=iters, thresh=thresh, ot_temp=ot_temp,
-        ot_part=ot_part, group_valid=group_valid,
+        ot_part=ot_part, group_valid=group_valid, has_cost=has_cost,
     )
+    S_spec = pl.BlockSpec((1, Rs, Rm, P), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        S_spec,
+        pl.BlockSpec((1, Rs, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Rm, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [
+        S_packed.astype(jnp.float32),
+        u_packed.astype(jnp.float32),
+        v_packed.astype(jnp.float32),
+    ]
+    if has_cost:
+        in_specs.append(S_spec)
+        args.append(C_packed.astype(jnp.float32))
     out = pl.pallas_call(
         kernel,
         grid=(nsteps,),
-        in_specs=[
-            pl.BlockSpec((1, Rs, Rm, P), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Rs, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Rm, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nsteps, 1, P), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=nsteps * P * iters * 4 * Rs * Rm,
-            bytes_accessed=S_packed.size * 4 + out_shapebytes(nsteps, P),
+            bytes_accessed=(1 + has_cost) * S_packed.size * 4 + out_shapebytes(nsteps, P),
             transcendentals=nsteps * P * Rs * Rm,
         ),
         interpret=interpret,
-    )(
-        S_packed.astype(jnp.float32),
-        u_packed.astype(jnp.float32),
-        v_packed.astype(jnp.float32),
-    )
+    )(*args)
     return out[:, 0, :]
 
 
@@ -221,7 +244,7 @@ def _pack_groups(x: jnp.ndarray, P: int) -> jnp.ndarray:
 )
 def fused_rerank_tile(
     anchors, fb_g, u, v, iters=100, thresh=1e-1, ot_temp=0.05, ot_part=1.0,
-    interpret=False, P=PAIR_LANES, group_exit=None,
+    interpret=False, P=PAIR_LANES, group_exit=None, cost=None,
 ):
     """One query tile: anchors (T, C, R), fb_g (T, K, C, R), u/v (T, K, R).
     Returns (T, K) scores.
@@ -230,7 +253,10 @@ def fused_rerank_tile(
     (one query per grid step, K <= P required); defaults to on for partial OT
     where exit granularity changes results (diml.py:50-52), off for full OT
     where per-pair freeze is rank-identical and packs lanes fully.  With
-    group_exit off, T*K must be a multiple of P."""
+    group_exit off, T*K must be a multiple of P.
+
+    ``cost`` (T, K, R, R) optionally carries a separate similarity for the OT
+    kernel (qk method: the pair's q·k attention map, diml.py:235-258)."""
     T, K, C, R = fb_g.shape
     if group_exit is None:
         group_exit = ot_part <= 0.999 and K <= P
@@ -243,17 +269,19 @@ def fused_rerank_tile(
         Sp = _pack_groups(S, P)
         up = _pack_groups(u, P)
         vp = _pack_groups(v, P)
+        Cp = None if cost is None else _pack_groups(cost, P)
         scores = sinkhorn_scores_packed(
             Sp, up, vp, iters=iters, thresh=thresh, ot_temp=ot_temp,
-            ot_part=ot_part, interpret=interpret, group_valid=K,
+            ot_part=ot_part, interpret=interpret, group_valid=K, C_packed=Cp,
         )
         return scores[:, :K]
     Sp = _pack_pairs(S.reshape(T * K, R, R), P)
     up = _pack_pairs(u.reshape(T * K, R), P)
     vp = _pack_pairs(v.reshape(T * K, R), P)
+    Cp = None if cost is None else _pack_pairs(cost.reshape(T * K, R, R), P)
     scores = sinkhorn_scores_packed(
         Sp, up, vp, iters=iters, thresh=thresh, ot_temp=ot_temp, ot_part=ot_part,
-        interpret=interpret,
+        interpret=interpret, C_packed=Cp,
     )
     flat = jnp.moveaxis(scores, -1, 1).reshape(-1)[: T * K]
     return flat.reshape(T, K)
@@ -348,6 +376,77 @@ def fused_featvit_rerank_scores(
             use_minus=use_minus, use_soft=use_soft,
             use_cls_token=use_cls_token, temperature=temperature,
             interpret=interpret, P=P,
+        )
+
+    out = jax.lax.map(tile, idx_all)
+    return out.reshape(nt * query_tile, K)[:N]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iters", "thresh", "query_tile", "use_uniform", "use_exp",
+        "temperature", "scale", "interpret",
+    ),
+)
+def fused_qk_rerank_scores(
+    feature_bank: jnp.ndarray,
+    q_bank: jnp.ndarray,
+    k_bank: jnp.ndarray,
+    top_inds: jnp.ndarray,
+    iters: int = 100,
+    thresh: float = 1e-1,
+    query_tile: int = 256,
+    use_uniform: bool = False,
+    use_exp: bool = False,
+    temperature: float = 1.0,
+    scale: float = 1.0 / 8.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused rerank for the q/k-attention method (reference
+    calc_similarity_vit/cvt, diml.py:206-320, full OT): the OT kernel comes
+    from the pair's q·k attention map while the score contracts against the
+    feature similarity — the kernel's separate-cost input carries the
+    attention map.  q_bank/k_bank: (N, heads, T+1, D) raw projections of the
+    probed block; marginals are the cls row/column of the pair's attention.
+    """
+    from .similarity import l2_normalize
+
+    N, C, R = feature_bank.shape
+    K = top_inds.shape[1]
+    P = PAIR_LANES
+    eps = 1e-5
+    # per-image head-mean + L2 normalization happens once, not per pair
+    q_mean = l2_normalize(jnp.mean(q_bank, axis=1), axis=-1)  # (N, T+1, D)
+    k_mean = l2_normalize(jnp.mean(k_bank, axis=1), axis=-1)
+    nt = -(-N // query_tile)
+    idx_all = (jnp.arange(nt * query_tile) % N).reshape(nt, query_tile)
+
+    def tile(idx):
+        inds = top_inds[idx]
+        # dp[t, k, s, m] = k_mean[gallery s-token] . q_mean[anchor m-token]
+        dp = jnp.einsum(
+            "tmc,tksc->tksm", q_mean[idx], k_mean[inds],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * scale
+        if use_uniform:
+            u = jnp.full((idx.shape[0], K, R), 1.0 / R, jnp.float32)
+            v = u
+        elif use_exp:
+            u = jnp.exp(-jax.nn.relu(dp[:, :, 1:, 0]) / temperature)
+            u = u / (jnp.sum(u, axis=-1, keepdims=True) + eps)
+            v = jnp.exp(-jax.nn.relu(dp[:, :, 0, 1:]) / temperature)
+            v = v / (jnp.sum(v, axis=-1, keepdims=True) + eps)
+        else:
+            u = jax.nn.relu(dp[:, :, 1:, 0])
+            u = u / (jnp.sum(u, axis=-1, keepdims=True) + eps)
+            v = jax.nn.relu(dp[:, :, 0, 1:])
+            v = v / (jnp.sum(v, axis=-1, keepdims=True) + eps)
+        return fused_rerank_tile(
+            feature_bank[idx], feature_bank[inds], u, v,
+            iters=iters, thresh=thresh, ot_temp=0.05, ot_part=1.0,
+            interpret=interpret, P=P, cost=dp[:, :, 1:, 1:],
         )
 
     out = jax.lax.map(tile, idx_all)
