@@ -142,6 +142,15 @@ def test_rerank_evaluate_cam_method():
         flags=dict(use_ot=True), query_block=40,
     )
     assert np.isfinite(res["r1"][8])
+    # the cam method now auto-dispatches to the fused rollout path (CAM maps
+    # are non-negative per-image saliency); metrics must match the XLA path
+    res_xla = rerank_evaluate(
+        fbj, cj, lj, rollout=camj, trunc_nums=(0, 8), method="cam",
+        flags=dict(use_ot=True), query_block=40, use_fused=False,
+    )
+    for m in ("r1", "rp", "mapr"):
+        for t in (0, 8):
+            assert abs(res[m][t] - res_xla[m][t]) < 0.2, (m, t)
 
     # score parity vs direct per-query featvit use_cam
     _, top = pairwise_topk(cj, cj, k=8, mask_self=True)

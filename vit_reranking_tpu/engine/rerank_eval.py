@@ -154,6 +154,8 @@ def rerank_evaluate(
             use_fused = flags.get("use_ot", True) and (
                 (method in ("rollout", "featvit") and (ot_part > 0.999 or K <= PAIR_LANES))
                 or method == "qk"  # qk is full-OT only (no ot_part in its signature)
+                or (method == "cam" and rollout is not None
+                    and rollout.shape[-1] == feature_bank.shape[-1])
             )
         interpret = jax.default_backend() != "tpu"
 
@@ -175,7 +177,10 @@ def rerank_evaluate(
                     scale=flags.get("qk_scale", 1.0 / 8.0),
                     interpret=interpret,
                 )
-            elif method == "rollout":
+            elif method in ("rollout", "cam"):
+                # CAM maps are per-image saliency exactly like rollout
+                # (diml.py:405-412): relu+normalize == plain normalize since
+                # activation-CAM is already non-negative (utils/cam.py:42)
                 ot_sims = fused_rollout_rerank_scores(
                     feature_bank, feature_bank_center, rollout, top_inds,
                     query_tile=query_block,
