@@ -275,3 +275,23 @@ def test_rerank_evaluate_qk_fused_vs_xla_metrics():
     for m in ("r1", "rp", "mapr"):
         for t in (0, K):
             assert abs(ref[m][t] - out[m][t]) < 0.2, (m, t, ref[m][t], out[m][t])
+
+
+def test_qk_method_without_k_bank_falls_back_to_xla():
+    """rollout_g=None must keep the old XLA fallback (gal_roll substitution),
+    not crash in the fused qk path."""
+    from vit_reranking_tpu.engine.rerank_eval import rerank_evaluate
+
+    rng = np.random.default_rng(7)
+    N, C, R, H, D = 24, 8, 49, 2, 8
+    fb = rng.standard_normal((N, C, R)).astype(np.float32)
+    fb /= np.linalg.norm(fb, axis=1, keepdims=True)
+    centers = fb.mean(-1)
+    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+    qk_bank = rng.standard_normal((N, H, R + 1, D)).astype(np.float32)
+    res = rerank_evaluate(
+        jnp.asarray(fb), jnp.asarray(centers), np.arange(N) % 4,
+        rollout=jnp.asarray(qk_bank), rollout_g=None,
+        trunc_nums=(0, 8), method="qk", flags={"use_ot": True}, query_block=8,
+    )
+    assert np.isfinite(res["r1"][8])

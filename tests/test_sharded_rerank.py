@@ -125,3 +125,16 @@ def test_sharded_rerank_evaluate_matches_single_device():
     for m in ("r1", "rp", "mapr"):
         for t in (0, K):
             assert abs(ref[m][t] - out[m][t]) < 1e-4, (m, t, ref[m][t], out[m][t])
+
+
+def test_sharded_rerank_evaluate_rejects_bad_args():
+    import pytest
+    from vit_reranking_tpu.engine.sharded_eval import sharded_rerank_evaluate
+
+    mesh = create_mesh(jax.devices()[:8])
+    fb = jnp.ones((16, 4, 9))
+    c = jnp.ones((16, 4))
+    with pytest.raises(ValueError, match="rollout saliency"):
+        sharded_rerank_evaluate(mesh, fb, c, np.arange(16) % 4)
+    with pytest.raises(ValueError, match="supports methods"):
+        sharded_rerank_evaluate(mesh, fb, c, np.arange(16) % 4, method="qk")

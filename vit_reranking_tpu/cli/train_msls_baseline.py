@@ -229,6 +229,7 @@ def main(argv=None):
     best_r5 = -1.0
     it_count = 0
     prev_drift_feat = None
+    drift_idx = 0  # per-subcache snapshot index (it_count can stall on tiny subcaches)
     for epoch in range(opt.start_epoch, opt.n_epochs):
         train_set.new_epoch()
         epoch_losses = []
@@ -256,12 +257,13 @@ def main(argv=None):
                     val_set, list(val_set.qImages),
                     lambda imgs: (embed_fn(imgs), None), batch=16,
                 )
-                np.savez(f"{logger.run_dir}/feat_{it_count}.npz", qFeat=cur)
+                np.savez(f"{logger.run_dir}/feat_{drift_idx}.npz", qFeat=cur)
                 if prev_drift_feat is not None:
                     mse = float(np.mean((cur - prev_drift_feat) ** 2))
-                    logger.log("Drift", {"feat_drift_mse": mse}, it_count)
+                    logger.log("Drift", {"feat_drift_mse": mse}, drift_idx)
                     print(f"  subcache drift MSE: {mse:.6f}")
                 prev_drift_feat = cur
+                drift_idx += 1
             trips = list(range(len(train_set)))
             np.random.shuffle(trips)
             for step_i, s in enumerate(range(0, len(trips) - B + 1, B)):

@@ -113,7 +113,10 @@ def msls_val(
         kk = min(max(nmax, K), dbEnd)
         preds = jnp.argsort(-sim, axis=1)[:, :kk]
 
-        if K > 0:
+        if K > 0 and qEnd == 0:
+            # empty city (restrictive filtering): nothing to rerank
+            final_preds.append(np.asarray(preds))
+        elif K > 0:
             qD = jnp.asarray(qDense[qTot : qTot + qEnd])
             dbD = jnp.asarray(dbDense[dbTot : dbTot + dbEnd])
             Keff = min(K, dbEnd)

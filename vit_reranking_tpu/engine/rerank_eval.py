@@ -153,9 +153,16 @@ def rerank_evaluate(
         if use_fused is None:
             use_fused = flags.get("use_ot", True) and (
                 (method in ("rollout", "featvit") and (ot_part > 0.999 or K <= PAIR_LANES))
-                or method == "qk"  # qk is full-OT only (no ot_part in its signature)
+                # qk is full-OT only (no ot_part in its signature) and needs
+                # both the q and k banks (rollout_g=None falls back to the
+                # XLA branch's gal_roll substitution)
+                or (method == "qk" and rollout is not None and rollout_g is not None)
+                # cam: the XLA reference path (featvit use_cam) has no
+                # ot_part and ignores use_uniform — only fuse the exact
+                # full-OT default configuration
                 or (method == "cam" and rollout is not None
-                    and rollout.shape[-1] == feature_bank.shape[-1])
+                    and rollout.shape[-1] == feature_bank.shape[-1]
+                    and ot_part > 0.999 and not flags.get("use_uniform", False))
             )
         interpret = jax.default_backend() != "tpu"
 

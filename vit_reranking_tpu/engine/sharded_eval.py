@@ -57,6 +57,13 @@ def sharded_rerank_evaluate(
     shard-wise to the distributed kNN.
     """
     flags = dict(flags or {})
+    if method not in ("rollout", "featvit"):
+        raise ValueError(
+            f"sharded_rerank_evaluate supports methods 'rollout'/'featvit', "
+            f"got {method!r} (use the single-chip rerank_evaluate for qk/cam)"
+        )
+    if method == "rollout" and rollout is None:
+        raise ValueError("method='rollout' requires a rollout saliency bank")
     N = feature_bank.shape[0]
     labels = jnp.asarray(labels)
     ndev = mesh.shape[DATA_AXIS]

@@ -42,12 +42,17 @@ class NetVLAD(nn.Module):
             lambda rng: jax.random.uniform(rng, (self.num_clusters, self.dim)),
         )
 
+    def _soft_assign(self, x):
+        """Normalize input + assignment softmax (B, H, W, K) — the shared
+        head of residuals / cluster_weights."""
+        if self.normalize_input:
+            x = _norm_ch(x, axis=-1)
+        return x, jax.nn.softmax(self.assign(x), axis=-1)
+
     def residuals(self, x):
         """(B, H, W, D) -> soft-assigned residuals (B, K, D, H*W)."""
         B, H, W, D = x.shape
-        if self.normalize_input:
-            x = _norm_ch(x, axis=-1)
-        soft = jax.nn.softmax(self.assign(x), axis=-1)  # (B, H, W, K)
+        x, soft = self._soft_assign(x)
         xf = x.reshape(B, H * W, D)
         sf = soft.reshape(B, H * W, self.num_clusters)
         # residual[b,k,d,l] = (x[b,l,d] - c[k,d]) * s[b,l,k]
@@ -76,9 +81,7 @@ class NetVLAD(nn.Module):
     def cluster_weights(self, x):
         """Softmax soft-assignment maps (B, K, H, W) — reference
         netvlad.get_cluster_weights (netvlad.py:179-186)."""
-        if self.normalize_input:
-            x = _norm_ch(x, axis=-1)
-        soft = jax.nn.softmax(self.assign(x), axis=-1)  # (B, H, W, K)
+        _, soft = self._soft_assign(x)  # (B, H, W, K)
         return soft.transpose(0, 3, 1, 2)
 
     def local_global(self, x):
