@@ -137,6 +137,8 @@ def run_eval(opt: Config, trunc_nums=(0, 100)):
         use_minus=opt.use_minus,
         ot_part=opt.ot_part,
         use_ot=opt.use_ot,
+        # reference scale: ViT q.k / 8 (diml.py:235), CvT unscaled (diml.py:292)
+        qk_scale=1.0 if opt.arch.startswith("cvt") else 1.0 / 8.0,
     )
     trunc_nums = tuple(t for t in trunc_nums if t == 0 or t < len(feats["labels"]))
     if method == "rollout":
