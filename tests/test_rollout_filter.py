@@ -102,3 +102,18 @@ def test_extract_device_matches_loader_path():
         np.testing.assert_allclose(
             ref[key], np.asarray(dev[key]), rtol=2e-5, atol=2e-6
         )
+
+
+def test_extract_device_smaller_than_batch():
+    """N < batch_size wrap-pads via take(arange % N) — a plain images[:pad]
+    came up short and crashed the reshape (review regression)."""
+    from vit_reranking_tpu.engine.extract import extract_features_device
+    from vit_reranking_tpu.models import select
+
+    rng = jax.random.PRNGKey(1)
+    model = select("resnet50_normalize", SimpleNamespace(embed_dim=8))
+    images = jax.random.normal(rng, (3, 64, 64, 3), jnp.float32)
+    variables = model.init(rng, images[:1], train=False)
+    out = extract_features_device(model, variables, images, batch_size=8)
+    assert out["bank"].shape[0] == 3
+    assert np.all(np.isfinite(np.asarray(out["center"])))
