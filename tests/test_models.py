@@ -208,3 +208,20 @@ def test_vit_swin_bf16_parity():
         assert e16.dtype == jnp.float32  # head output stays f32
         cos = jnp.sum(e32 * e16, -1)
         assert float(cos.min()) > 0.995, (arch, cos)
+
+
+def test_cvt_fpn_variant():
+    """FPN pooling variant (reference cvt.FPNetwork:752-816): selectable via
+    the arch string, follows the (embed, (enc_out, token_map), aux) contract."""
+    import types
+
+    m = archs.select("cvt_fp_normalize", types.SimpleNamespace(embed_dim=24))
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 224, 224, 3)), jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    embed, (enc, tokens), aux = m.apply(v, x, train=False)
+    assert embed.shape == (2, 24)
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(embed, axis=-1)), 1.0, rtol=1e-5
+    )
+    assert np.all(np.isfinite(np.asarray(enc)))
