@@ -295,3 +295,34 @@ def test_qk_method_without_k_bank_falls_back_to_xla():
         trunc_nums=(0, 8), method="qk", flags={"use_ot": True}, query_block=8,
     )
     assert np.isfinite(res["r1"][8])
+
+
+@pytest.mark.parametrize("seed,R,K,tile", [(0, 16, 4, 4), (1, 49, 12, 8), (2, 25, 7, 16)])
+def test_fused_rollout_geometry_fuzz(seed, R, K, tile):
+    """Shape/geometry fuzz: non-square-friendly K, tiles that don't divide N,
+    tiny grids — fused must track the XLA path everywhere."""
+    rng = np.random.default_rng(seed)
+    N, C = 22, 12  # deliberately not a multiple of tile
+    fb = rng.standard_normal((N, C, R)).astype(np.float32)
+    fb /= np.linalg.norm(fb, axis=1, keepdims=True)
+    centers = fb.mean(-1)
+    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+    roll = np.abs(rng.standard_normal((N, R))).astype(np.float32)
+    sims = centers @ centers.T
+    np.fill_diagonal(sims, -100)
+    top = np.argsort(-sims, 1)[:, :K].astype(np.int32)
+    fb_j, c_j, r_j, top_j = map(jnp.asarray, (fb, centers, roll, top))
+
+    for ot_part in (1.0, 0.7):
+        out = np.asarray(fused_rollout_rerank_scores(
+            fb_j, c_j, r_j, top_j, query_tile=tile, ot_part=ot_part,
+            interpret=True,
+        ))
+        def one(i):
+            s, _ = calc_similarity_rollout(
+                c_j[i], fb_j[i], r_j[i], c_j[top_j[i]], fb_j[top_j[i]],
+                r_j[top_j[i]], stage=1, ot_part=ot_part)
+            return s
+        ref = np.asarray(jax.vmap(one)(jnp.arange(N)))
+        assert out.shape == (N, K)
+        np.testing.assert_allclose(out, ref, rtol=5e-3, atol=1e-4)
