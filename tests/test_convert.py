@@ -390,3 +390,27 @@ def test_swin_converter_activation_parity():
     )
     out, (enc_out, no_avg), _ = model.apply({"params": p}, jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(no_avg), ref.numpy(), atol=1e-3, rtol=1e-3)
+
+
+def test_convert_checkpoint_cli(tmp_path):
+    """torch .pth -> Orbax one-shot conversion CLI: the saved checkpoint
+    restores the converted trunk weights (no torch needed afterwards)."""
+    from vit_reranking_tpu.cli.convert_checkpoint import main
+    from vit_reranking_tpu.core.checkpoint import load_checkpoint
+
+    torch.manual_seed(1)
+    tm = TorchResNet50Trunk().eval()
+    pth = tmp_path / "resnet50.pth"
+    torch.save(tm.state_dict(), pth)
+
+    out = main([
+        "--arch", "resnet50_normalize", "--embed_dim", "8",
+        "--pretrained_ckpt", str(pth), "--save_path", str(tmp_path / "orbax"),
+        "--seed", "0",
+    ])
+    restored = load_checkpoint(out)
+    assert "params" in restored and "batch_stats" in restored
+    # a converted conv kernel matches the torch weight (HWIO layout)
+    w_t = tm.state_dict()["conv1.weight"].numpy()  # (64, 3, 7, 7) OIHW
+    w_j = np.asarray(restored["params"]["trunk"]["conv1"]["kernel"])  # HWIO
+    np.testing.assert_allclose(w_j, w_t.transpose(2, 3, 1, 0), rtol=1e-6)
