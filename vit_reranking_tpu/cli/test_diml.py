@@ -104,21 +104,26 @@ def run_eval(opt: Config, trunc_nums=(0, 100)):
         ) + ("_qk" if opt.use_qk else "") + ("_cam" if opt.use_cam else "")
         cache_file = os.path.join(opt.cache_path, f"feat_{tag}.npz")
 
+    from ..core.profiler import PhaseTimer, trace
+
+    timer = PhaseTimer()
     t0 = time.time()
     if cache_file and os.path.exists(cache_file):
         feats = dict(np.load(cache_file))
         print(f"loaded cached features from {cache_file}")
     else:
-        feats = extract_features(
-            model, variables, test_loader,
-            grid_size=opt.grid_size,
-            use_rollout=opt.use_rollout,
-            use_qk=opt.use_qk,
-            training_mode=opt.training,
-            pad_batch=opt.bs,
-        )
-        if opt.use_cam:
-            feats["cam"] = extract_cam_bank(opt, test_loader)
+        with trace(), timer.phase("extract", items=0):
+            feats = extract_features(
+                model, variables, test_loader,
+                grid_size=opt.grid_size,
+                use_rollout=opt.use_rollout,
+                use_qk=opt.use_qk,
+                training_mode=opt.training,
+                pad_batch=opt.bs,
+            )
+            if opt.use_cam:
+                feats["cam"] = extract_cam_bank(opt, test_loader)
+        timer.items["extract"] = len(feats["labels"])
         if cache_file:
             np.savez(cache_file, **feats)
     print(f"embedded {len(feats['labels'])} images in {time.time()-t0:.1f}s")
@@ -150,20 +155,24 @@ def run_eval(opt: Config, trunc_nums=(0, 100)):
     else:
         aux_bank, aux_g = None, None
     t0 = time.time()
-    results = rerank_evaluate(
-        jnp.asarray(feats["bank"]),
-        jnp.asarray(feats["center"]),
-        jnp.asarray(feats["labels"]),
-        rollout=aux_bank,
-        rollout_g=aux_g,
-        trunc_nums=trunc_nums,
-        method=method,
-        flags=flags,
-        approx_topk=getattr(opt, "approx_topk", False),
-    )
+    with trace(), timer.phase("rerank", items=len(feats["labels"]) * max(trunc_nums)):
+        results = rerank_evaluate(
+            jnp.asarray(feats["bank"]),
+            jnp.asarray(feats["center"]),
+            jnp.asarray(feats["labels"]),
+            rollout=aux_bank,
+            rollout_g=aux_g,
+            trunc_nums=trunc_nums,
+            method=method,
+            flags=flags,
+            approx_topk=getattr(opt, "approx_topk", False),
+        )
     dt = time.time() - t0
     n_pairs = len(feats["labels"]) * max(trunc_nums)
     print(f"rerank eval in {dt:.1f}s ({n_pairs/max(dt,1e-9):,.0f} pairs/s)")
+    print("phase timings:", timer.summary())
+    if opt.cache_path:
+        timer.dump(os.path.join(opt.cache_path, "timings.json"))
 
     for trunc in trunc_nums:
         print(f"trunc_num: {trunc}, ot part: {opt.ot_part}")
