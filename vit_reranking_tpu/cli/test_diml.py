@@ -140,6 +140,7 @@ def run_eval(opt: Config, trunc_nums=(0, 100)):
         temperature=opt.temperature,
         use_cls_token=opt.use_cls_token,
         use_minus=opt.use_minus,
+        use_soft=opt.use_soft,
         ot_part=opt.ot_part,
         use_ot=opt.use_ot,
         # reference scale: ViT q.k / 8 (diml.py:235), CvT unscaled (diml.py:292)

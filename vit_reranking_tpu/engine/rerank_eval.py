@@ -85,6 +85,7 @@ def _rerank_tile(
             use_cls_token=flags.get("use_cls_token", False),
             ot_temp=flags.get("ot_temp", 0.05),
             use_minus=flags.get("use_minus", False),
+            use_soft=flags.get("use_soft", False),
             ot_part=flags.get("ot_part", 1.0),
         )
     return sim
