@@ -7,4 +7,4 @@ python -m vit_reranking_tpu.cli.train_baseline \
   --group CARS_Margin_b06_Distance_cvt --loss_margin_beta 0.6 --seed 0 --bs 112 \
   --samples_per_class 2 --loss margin --batch_mining distance \
   --arch cvt_13_normalize --embed_dim 128 --evalevery 10 --max_patience 5 \
-  --pretrained_ckpt ${CVT_CKPT:-}
+  ${CVT_CKPT:+--pretrained_ckpt $CVT_CKPT}

@@ -3,4 +3,4 @@
 datapath=${DATAPATH:-data}
 python -m vit_reranking_tpu.cli.test_cls_token \
   --dataset cub200 --source_path $datapath --arch vit_normalize --embed_dim 128 \
-  --bs 16 --pretrained_ckpt ${VIT_CKPT:-}
+  --bs 16 ${VIT_CKPT:+--pretrained_ckpt $VIT_CKPT}

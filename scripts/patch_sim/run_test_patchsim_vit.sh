@@ -3,4 +3,4 @@
 datapath=${DATAPATH:-data}
 python -m vit_reranking_tpu.cli.test_pair_patchsim \
   --dataset cub200 --source_path $datapath --arch vit_normalize --bs 16 \
-  --pretrained_ckpt ${VIT_CKPT:-}
+  ${VIT_CKPT:+--pretrained_ckpt $VIT_CKPT}
