@@ -118,13 +118,53 @@ def test_sharded_rerank_evaluate_matches_single_device():
         fb_j, c_j, labels, rollout=r_j, trunc_nums=(0, K), method="rollout",
         flags={"use_ot": True}, use_fused=False,
     )
-    out = sharded_rerank_evaluate(
-        mesh, fb_j, c_j, labels, rollout=r_j, trunc_nums=(0, K),
-        method="rollout", flags={"use_ot": True},
-    )
-    for m in ("r1", "rp", "mapr"):
-        for t in (0, K):
-            assert abs(ref[m][t] - out[m][t]) < 1e-4, (m, t, ref[m][t], out[m][t])
+    # default dispatch = fused Pallas kernel per device shard (interpret mode
+    # on the CPU mesh); use_fused=False pins the XLA fallback too
+    for fused in (None, False):
+        out = sharded_rerank_evaluate(
+            mesh, fb_j, c_j, labels, rollout=r_j, trunc_nums=(0, K),
+            method="rollout", flags={"use_ot": True}, use_fused=fused,
+        )
+        for m in ("r1", "rp", "mapr"):
+            for t in (0, K):
+                assert abs(ref[m][t] - out[m][t]) < 1e-4, (
+                    fused, m, t, ref[m][t], out[m][t],
+                )
+
+
+def test_sharded_rerank_evaluate_featvit_fused_matches_single_device():
+    """featvit method through the sharded fused path (incl. partial OT via
+    the kernel's group-exit mode) == single-device engine."""
+    from vit_reranking_tpu.engine.rerank_eval import rerank_evaluate
+    from vit_reranking_tpu.engine.sharded_eval import sharded_rerank_evaluate
+
+    mesh = create_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(7)
+    N, C, R, K = 48, 16, 9, 6
+    labels = np.arange(N) % 6
+    base = rng.standard_normal((6, C, R)).astype(np.float32)
+    fb = base[labels] + 0.4 * rng.standard_normal((N, C, R)).astype(np.float32)
+    fb = np.asarray(fb / np.linalg.norm(fb, axis=1, keepdims=True), np.float32)
+    centers = fb.mean(-1)
+    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+    fb_j, c_j = jnp.asarray(fb), jnp.asarray(centers)
+
+    for flags in (
+        {"use_ot": True, "use_inverse": True, "temperature": 0.1},
+        {"use_ot": True, "ot_part": 0.5},
+    ):
+        ref = rerank_evaluate(
+            fb_j, c_j, labels, trunc_nums=(0, K), method="featvit", flags=flags,
+        )
+        out = sharded_rerank_evaluate(
+            mesh, fb_j, c_j, labels, trunc_nums=(0, K), method="featvit",
+            flags=flags,
+        )
+        for m in ("r1", "rp", "mapr"):
+            for t in (0, K):
+                assert abs(ref[m][t] - out[m][t]) < 1e-4, (
+                    flags, m, t, ref[m][t], out[m][t],
+                )
 
 
 def test_sharded_rerank_evaluate_rejects_bad_args():

