@@ -128,6 +128,13 @@ def load_pretrained_into(opt: Config, variables):
         p = convert.convert_swin(sd)
     elif "netvlad" in a:
         p = convert.convert_patchnetvlad(sd)
+    elif a.startswith("densenet"):
+        cfg = (6, 12, 48, 32) if "201" in a else (6, 12, 32, 32)
+        p, s = convert.convert_densenet(sd, block_config=cfg)
+    elif a.startswith("googlenet"):
+        p, s = convert.convert_googlenet(sd)
+    elif a.startswith("bninception"):
+        p, s = convert.convert_bninception(sd)
     else:
         raise NotImplementedError(f"converter for {opt.arch} pending")
     out = dict(variables)

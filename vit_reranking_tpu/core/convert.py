@@ -266,6 +266,144 @@ def convert_patchnetvlad(state_dict: Mapping[str, Any]) -> Dict:
     return p
 
 
+def convert_densenet(
+    state_dict: Mapping[str, Any], block_config=(6, 12, 32, 32)
+) -> Tuple[Dict, Dict]:
+    """torchvision densenet169/201 -> (params, batch_stats) for
+    models.legacy.DenseNetNetwork (reference architectures/densenet.py:14-43;
+    block_config (6,12,48,32) for -201).
+
+    Accepts both modern keys (``denselayer1.norm1.weight``) and the legacy
+    dotted keys (``norm.1.weight``) the reference renames at load time
+    (densenet.py:10-25)."""
+    import re
+
+    sd = strip_prefix(dict(state_dict), "module.")
+    sd = strip_prefix(sd, "model.")
+    pat = re.compile(
+        r"^(.*denselayer\d+\.(?:norm|relu|conv))\."
+        r"((?:[12])\.(?:weight|bias|running_mean|running_var))$"
+    )
+    for k in list(sd):
+        m = pat.match(k)
+        if m:
+            sd[m.group(1) + m.group(2)] = sd.pop(k)
+    params: Dict = {}
+    stats: Dict = {}
+
+    def bn(src, dst):
+        _set(params, dst + ("scale",), _np(sd[f"{src}.weight"]))
+        _set(params, dst + ("bias",), _np(sd[f"{src}.bias"]))
+        _set(stats, dst + ("mean",), _np(sd[f"{src}.running_mean"]))
+        _set(stats, dst + ("var",), _np(sd[f"{src}.running_var"]))
+
+    _set(params, ("conv0", "kernel"), _conv_kernel(sd["features.conv0.weight"]))
+    bn("features.norm0", ("norm0",))
+    for bi, layers in enumerate(block_config):
+        for li in range(layers):
+            src = f"features.denseblock{bi + 1}.denselayer{li + 1}"
+            dst = (f"block{bi}_layer{li}",)
+            for ni in (1, 2):
+                bn(f"{src}.norm{ni}", dst + (f"norm{ni}",))
+                _set(params, dst + (f"conv{ni}", "kernel"),
+                     _conv_kernel(sd[f"{src}.conv{ni}.weight"]))
+        if bi < len(block_config) - 1:
+            bn(f"features.transition{bi + 1}.norm", (f"transition{bi}_norm",))
+            _set(params, (f"transition{bi}_conv", "kernel"),
+                 _conv_kernel(sd[f"features.transition{bi + 1}.conv.weight"]))
+    bn("features.norm5", ("norm5",))
+    if "last_linear.weight" in sd:
+        _set(params, ("last_linear", "kernel"), _dense_kernel(sd["last_linear.weight"]))
+        _set(params, ("last_linear", "bias"), _np(sd["last_linear.bias"]))
+    return params, stats
+
+
+def convert_googlenet(state_dict: Mapping[str, Any]) -> Tuple[Dict, Dict]:
+    """torchvision googlenet -> (params, batch_stats) for
+    models.legacy.GoogLeNetNetwork (reference architectures/googlenet.py:17).
+    Aux-classifier weights are skipped (eval path never runs them); the
+    embedding head maps from ``last_linear``/``fc``."""
+    sd = strip_prefix(dict(state_dict), "module.")
+    sd = strip_prefix(sd, "model.")
+    params: Dict = {}
+    stats: Dict = {}
+
+    def basic(src, dst):
+        _set(params, dst + ("conv", "kernel"), _conv_kernel(sd[f"{src}.conv.weight"]))
+        _set(params, dst + ("bn", "scale"), _np(sd[f"{src}.bn.weight"]))
+        _set(params, dst + ("bn", "bias"), _np(sd[f"{src}.bn.bias"]))
+        _set(stats, dst + ("bn", "mean"), _np(sd[f"{src}.bn.running_mean"]))
+        _set(stats, dst + ("bn", "var"), _np(sd[f"{src}.bn.running_var"]))
+
+    for c in ("conv1", "conv2", "conv3"):
+        basic(c, (c,))
+    for blk in ("3a", "3b", "4a", "4b", "4c", "4d", "4e", "5a", "5b"):
+        src = f"inception{blk}"
+        basic(f"{src}.branch1", (src, "branch1"))
+        basic(f"{src}.branch2.0", (src, "branch2_0"))
+        basic(f"{src}.branch2.1", (src, "branch2_1"))
+        basic(f"{src}.branch3.0", (src, "branch3_0"))
+        basic(f"{src}.branch3.1", (src, "branch3_1"))
+        basic(f"{src}.branch4.1", (src, "branch4_1"))
+    head = "last_linear" if "last_linear.weight" in sd else (
+        "fc" if "fc.weight" in sd else None
+    )
+    if head:
+        _set(params, ("last_linear", "kernel"), _dense_kernel(sd[f"{head}.weight"]))
+        _set(params, ("last_linear", "bias"), _np(sd[f"{head}.bias"]))
+    return params, stats
+
+
+def convert_bninception(state_dict: Mapping[str, Any]) -> Tuple[Dict, Dict]:
+    """pretrainedmodels bninception -> (params, batch_stats) for
+    models.legacy.BNInceptionNetwork (reference architectures/bninception.py:13).
+
+    The pretrainedmodels state dict is flat (``inception_3a_double_3x3_1``);
+    conv layers keep their Caffe biases.  Flax module names equal the torch
+    layer names, nested under the owning block scope."""
+    sd = strip_prefix(dict(state_dict), "module.")
+    sd = strip_prefix(sd, "model.")
+    params: Dict = {}
+    stats: Dict = {}
+
+    def scope(layer: str) -> Tuple[str, ...]:
+        # flax nesting: inception_3a_1x1 -> block_3a/inception_3a_1x1/{conv,bn};
+        # stem convs -> conv1_7x7_s2/{conv,bn}
+        is_bn = layer.endswith("_bn")
+        base = layer[: -len("_bn")] if is_bn else layer
+        inner = "bn" if is_bn else "conv"
+        if base.startswith("inception_"):
+            return (f"block_{base.split('_')[1]}", base, inner)
+        return (base, inner)
+
+    for k, v in sd.items():
+        if "." not in k:
+            continue
+        layer, leaf = k.rsplit(".", 1)
+        if layer in ("last_linear", "fc"):
+            if leaf == "weight":
+                _set(params, ("last_linear", "kernel"), _dense_kernel(v))
+            elif leaf == "bias":
+                _set(params, ("last_linear", "bias"), _np(v))
+            continue
+        dst = scope(layer)
+        if layer.endswith("_bn"):
+            if leaf == "weight":
+                _set(params, dst + ("scale",), _np(v))
+            elif leaf == "bias":
+                _set(params, dst + ("bias",), _np(v))
+            elif leaf == "running_mean":
+                _set(stats, dst + ("mean",), _np(v))
+            elif leaf == "running_var":
+                _set(stats, dst + ("var",), _np(v))
+        else:
+            if leaf == "weight":
+                _set(params, dst + ("kernel",), _conv_kernel(v))
+            elif leaf == "bias":
+                _set(params, dst + ("bias",), _np(v))
+    return params, stats
+
+
 def merge_params(base: Dict, override: Dict) -> Dict:
     """Recursively merge converted weights into an init pytree (override wins).
 
