@@ -29,10 +29,12 @@ def oracle_embed(ds):
 
     def fn(imgs):
         # imgs are rendered from UTM — instead embed via global average pooling
-        # of the image itself (image content is a function of UTM)
+        # of the image itself (image content is a function of UTM).  jnp ops
+        # only: msls_val traces extract_fn inside its compiled chunk program.
+        imgs = jnp.asarray(imgs)
         x = imgs.reshape(imgs.shape[0], -1, 3).mean(1)
-        x = np.concatenate([x, imgs.reshape(imgs.shape[0], 8, -1).mean(-1)], -1)
-        return x / np.linalg.norm(x, axis=-1, keepdims=True)
+        x = jnp.concatenate([x, imgs.reshape(imgs.shape[0], 8, -1).mean(-1)], -1)
+        return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
 
     return fn
 

@@ -253,9 +253,12 @@ def main(argv=None):
                 # embed, save feat_<i>.npz, MSE vs feat_<i-1>.npz, log 'Drift')
                 from ..engine.msls_val import _embed_names
 
+                # traceable fn: _embed_names traces it inside one compiled
+                # chunk program (np.asarray-style wrappers would break)
                 cur, _ = _embed_names(
                     val_set, list(val_set.qImages),
-                    lambda imgs: (embed_fn(imgs), None), batch=16,
+                    lambda imgs: (_mining_embed(model)(mine_vars, imgs), None),
+                    batch=16,
                 )
                 np.savez(f"{logger.run_dir}/feat_{drift_idx}.npz", qFeat=cur)
                 if prev_drift_feat is not None:

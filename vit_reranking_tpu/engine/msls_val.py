@@ -9,6 +9,7 @@ einsum + argsort exactly like the reference's "tensor solution"
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import numpy as np
@@ -17,10 +18,35 @@ import jax.numpy as jnp
 
 from ..ops.similarity import calc_similarity, l2_normalize
 
+# batches per compiled super-chunk: per-dispatch cost on this platform is
+# ~30-60 ms, so embedding a 19k-image MSLS city pool one jitted batch at a
+# time spends more on dispatch than on compute; lax.map-ing 32 batches into
+# ONE program cuts dispatches 32x (same one-dispatch redesign as
+# engine/extract.py::extract_features_device).  Host memory stays bounded:
+# only chunk_frames images are resident at once.
+_CHUNK_BATCHES = 32
+
+
+@functools.lru_cache(maxsize=8)
+def _make_pool_extract(extract_fn, batch: int):
+    """ONE compiled program embedding `nb` fixed-size batches via lax.map."""
+
+    @jax.jit
+    def run(images):  # (nb*batch, H, W, 3)
+        nb = images.shape[0] // batch
+        batches = images.reshape(nb, batch, *images.shape[1:])
+        c, d = jax.lax.map(lambda b: extract_fn(b), batches)
+        c = c.reshape(nb * batch, *c.shape[2:])
+        d = None if d is None else d.reshape(nb * batch, *d.shape[2:])
+        return c, d
+
+    return run
+
 
 def _embed_names(eval_set, names, extract_fn, batch=16):
-    """Load keys by name via the dataset and embed in fixed-size batches.
-    extract_fn(images) -> (centers (B, D), dense (B, C, R) or None).
+    """Load keys by name via the dataset and embed them through compiled
+    super-chunks.  extract_fn(images) -> (centers (B, D), dense (B, C, R) or
+    None); it is traced (not dispatched) inside the chunk program.
 
     Sequence keys (comma-joined frames, tasks im2seq/seq2im/seq2seq) load as
     (L, H, W, 3) stacks; frames flatten into fixed (batch,)-sized forwards,
@@ -30,36 +56,42 @@ def _embed_names(eval_set, names, extract_fn, batch=16):
     arrangement/filtering, training_tools/msls.py:126-133)."""
     from ..data.msls import MSLS
 
-    centers, denses = [], []
-    for s in range(0, len(names), batch):
-        chunk = names[s : s + batch]
-        items = [eval_set.load_image_array(n) for n in chunk]
-        n = len(items)
-        arr = np.stack(items)
-        if n < batch:
-            arr = np.concatenate(
-                [arr, np.zeros((batch - n, *arr.shape[1:]), arr.dtype)]
+    if not len(names):
+        return np.zeros((0, 1), np.float32), None
+    run = _make_pool_extract(extract_fn, batch)
+
+    # probe the first key for the sequence shape
+    first = eval_set.load_image_array(names[0])
+    seq = first.ndim == 4
+    L = first.shape[0] if seq else 1
+    n_flat = len(names) * L
+    n_batches = -(-n_flat // batch)
+    nb_chunk = min(_CHUNK_BATCHES, n_batches)
+    chunk_frames = nb_chunk * batch
+    keys_per_chunk = max(chunk_frames // L, 1)
+
+    c_parts, d_parts = [], []
+    for s in range(0, len(names), keys_per_chunk):
+        sub = names[s : s + keys_per_chunk]
+        items = [eval_set.load_image_array(n) for n in sub]
+        arr = np.stack(items)  # (k, H, W, 3) or (k, L, H, W, 3)
+        flat = arr.reshape(-1, *arr.shape[-3:])
+        m = flat.shape[0]
+        if m < chunk_frames:
+            flat = np.concatenate(
+                [flat, np.zeros((chunk_frames - m, *flat.shape[1:]), flat.dtype)]
             )
-        if arr.ndim == 5:  # sequences: (batch, L, H, W, 3)
-            L = arr.shape[1]
-            flat = arr.reshape(batch * L, *arr.shape[2:])
-            cs, ds = [], []
-            for i in range(L):
-                c, d = extract_fn(flat[i * batch : (i + 1) * batch])
-                cs.append(np.asarray(c))
-                ds.append(None if d is None else np.asarray(d))
-            c_all = np.concatenate(cs, 0)  # flat (b*L) order preserved
-            centers.append(MSLS.aggregate_seq(c_all, L)[:n])
-            if ds[0] is not None:
-                d_all = np.concatenate(ds, 0).reshape(batch, L, *ds[0].shape[1:])
-                denses.append(d_all[:n, L // 2])
-        else:
-            c, d = extract_fn(arr)
-            centers.append(np.asarray(c)[:n])
-            if d is not None:
-                denses.append(np.asarray(d)[:n])
-    centers = np.concatenate(centers, 0)
-    dense = np.concatenate(denses, 0) if denses else None
+        c, d = run(jnp.asarray(flat))
+        c_parts.append(np.asarray(c)[:m])
+        if d is not None:
+            d_parts.append(np.asarray(d)[:m])
+    c = np.concatenate(c_parts, 0)
+    d = np.concatenate(d_parts, 0) if d_parts else None
+    if seq:
+        centers = MSLS.aggregate_seq(c, L)  # item-major frame layout
+        dense = None if d is None else d.reshape(len(names), L, *d.shape[1:])[:, L // 2]
+    else:
+        centers, dense = c, d
     return centers, dense
 
 
