@@ -325,3 +325,45 @@ def test_featvit_stage1_matches_torch_oracle():
         )
         np.testing.assert_allclose(np.asarray(ours), torch_oracle(**kw),
                                    atol=2e-4, err_msg=str(kw))
+
+
+def test_mhvit_matches_torch_oracle():
+    """Per-head OT with elementwise max-over-heads of T*S (reference
+    diml.py:424-472, dormant there; wired behind --use_mh).  Full trip count
+    on both sides so only the math is under test."""
+    rng = np.random.default_rng(31)
+    nhead, ndim, R, N = 4, 8, 9, 5
+    C = nhead * ndim
+    a_feat = rng.standard_normal((C, R + 1)).astype(np.float32)
+    f_feat = rng.standard_normal((N, C, R + 1)).astype(np.float32)
+
+    def oracle(use_uniform):
+        af = torch.tensor(a_feat)
+        ff = torch.tensor(f_feat)
+        ac = af[:, 0].reshape(nhead, ndim)
+        fc = ff[:, :, 0].reshape(N, nhead, ndim)
+        a = af[:, 1:].reshape(nhead, ndim, R)
+        f = ff[:, :, 1:].reshape(N, nhead, ndim, R)
+        sim = torch.einsum("hdm,nhds->nhsm", a, f)
+        K = torch.exp(-(1 - sim) / 0.05)
+        if use_uniform:
+            u = torch.full((N, nhead, R), 1.0 / R)
+            v = torch.full((N, nhead, R), 1.0 / R)
+        else:
+            att = F.relu(torch.einsum("hd,nhdr->nhr", ac, f))
+            u = att / (att.sum(2, keepdims=True) + 1e-5)
+            att = F.relu(torch.einsum("hdr,nhd->nhr", a, fc))
+            v = att / (att.sum(2, keepdims=True) + 1e-5)
+        per_head = []
+        for i in range(nhead):
+            T = torch_sinkhorn(K[:, i], u[:, i], v[:, i], thresh=0.0)
+            per_head.append(T * sim[:, i])
+        stacked = torch.stack(per_head)  # (h, N, R, R)
+        return stacked.max(0).values.sum((1, 2)).numpy()
+
+    for uni in (False, True):
+        ours, _ = calc_similarity_mhvit(
+            jnp.asarray(a_feat), jnp.asarray(f_feat), stage=1,
+            use_uniform=uni, nhead=nhead, thresh=0.0,
+        )
+        np.testing.assert_allclose(np.asarray(ours), oracle(uni), rtol=2e-4, atol=2e-5)

@@ -132,6 +132,8 @@ def run_eval(opt: Config, trunc_nums=(0, 100)):
         "cam" if opt.use_cam
         else "rollout" if opt.use_rollout
         else "qk" if opt.use_qk
+        else "mhvit" if opt.use_mh
+        else "dist" if opt.use_dist
         else "featvit"
     )
     flags = dict(
@@ -145,6 +147,7 @@ def run_eval(opt: Config, trunc_nums=(0, 100)):
         use_ot=opt.use_ot,
         # reference scale: ViT q.k / 8 (diml.py:235), CvT unscaled (diml.py:292)
         qk_scale=1.0 if opt.arch.startswith("cvt") else 1.0 / 8.0,
+        mh_heads=opt.mh_heads,
     )
     trunc_nums = tuple(t for t in trunc_nums if t == 0 or t < len(feats["labels"]))
     if method == "rollout":

@@ -211,6 +211,14 @@ class Config:
     synthetic_per_class: int = 16
     synthetic_size: int = 224
     use_qk: bool = False  # ViT attention-marginal rerank (eval_attn_diml path)
+    # dormant reference variants, exposed behind flags (VERDICT r2 item 9):
+    # per-head OT with max-over-heads scoring (utilities/diml.py:424-472 —
+    # only a stale eval_mha_diml.pyc suggests it ever ran) ...
+    use_mh: bool = False
+    mh_heads: int = 12
+    # ... and the OT-weighted pairwise-L2 eval scoring (utilities/diml.py:
+    # 149-203, defined but never called in the reference)
+    use_dist: bool = False
     # Grad-CAM OT marginals (eval_attn_diml.py:111-158 hardcodes use_cam;
     # exposed as a flag; CAM source model per utilities/cam.py:69-86)
     use_cam: bool = False

@@ -25,8 +25,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.similarity import (
+    calc_distance,
     calc_similarity,
     calc_similarity_featvit,
+    calc_similarity_mhvit,
     calc_similarity_qk,
     calc_similarity_rollout,
 )
@@ -68,6 +70,40 @@ def _rerank_tile(
             anchor_cam=anchor_rollout.reshape(g, g),
             fb_cam=fb_rollout.reshape(K, g, g),
         )
+    elif method == "mhvit":
+        # per-head OT, max over heads (reference diml.py:424-472, dormant —
+        # wired behind --use_mh).  The feature contract prepends the center
+        # as the cls token slot the reference indexes; when the global
+        # embedding lives in a different (head-projected) dim than the bank
+        # (e.g. raw conv feature banks), the patch mean stands in for it.
+        ac = (
+            anchor_center if anchor_center.shape[-1] == anchor.shape[0]
+            else jnp.mean(anchor, axis=-1)
+        )
+        fc = (
+            fb_center if fb_center.shape[-1] == fb.shape[1]
+            else jnp.mean(fb, axis=-1)
+        )
+        a_feat = jnp.concatenate([ac[:, None], anchor], axis=1)
+        f_feat = jnp.concatenate([fc[:, :, None], fb], axis=2)
+        sim, _ = calc_similarity_mhvit(
+            a_feat, f_feat, stage=1,
+            use_uniform=flags.get("use_uniform", False),
+            nhead=flags.get("mh_heads", 12),
+        )
+    elif method == "dist":
+        # OT-weighted pairwise L2 (reference diml.py:149-203, dormant —
+        # wired behind --use_dist).  Distance: lower is better, so the
+        # rerank score is its negation (the engine ranks by score +
+        # global sim).
+        d, _ = calc_distance(
+            anchor, anchor_center, fb, fb_center, stage=1,
+            use_uniform=flags.get("use_uniform", False),
+            use_exp=flags.get("use_inverse", True),
+            temperature=flags.get("temperature", 1.0),
+            use_cls_token=flags.get("use_cls_token", False),
+        )
+        sim = -d
     elif method == "rollout":
         sim, _ = calc_similarity_rollout(
             anchor_center, anchor, anchor_rollout, fb_center, fb, fb_rollout,
