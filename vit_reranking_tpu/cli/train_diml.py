@@ -50,6 +50,8 @@ def evaluate_rerank(opt, model, variables, loader, trunc=100):
 
 def main(argv=None):
     opt = from_args(argv)
+    if opt.bf16 is None:
+        opt = opt.replace(bf16=False)  # CvTDIML has no bf16 path; explicit f32
     if "diml" not in opt.arch:
         opt = opt.replace(arch=opt.arch.replace("cvt", "cvt_diml", 1)) if opt.arch.startswith("cvt") else opt
     seed_everything(opt.seed, debug=opt.debug)

@@ -226,7 +226,12 @@ class Config:
     remat: bool = False  # rematerialize CvT blocks (activation memory <-> FLOPs)
     device_batch: bool = True  # shard batches over the data mesh axis
     mesh_shape: Optional[str] = None  # e.g. "data:8" or "data:4,model:2"
-    bf16: bool = False  # bf16 activation compute in the backbone (+31% train step)
+    # bf16 activation compute in the backbone.  Tri-state: None = per-context
+    # default — the CvT TRAINING CLIs flip it on (96.7 -> 69.8 ms/step on the
+    # v5e at the canonical recipe, loss parity to 3 decimals; measured by
+    # scripts/profile_train_step.py); eval and other archs stay f32
+    # (DeiT measured -4% from the casts around its f32 LayerNorms).
+    bf16: Optional[bool] = None
     # stage-0 retrieval via TPU approx_max_k per gallery block (~2.4x at SOP
     # scale, empirical recall 1.0 at target 0.99); default exact = faiss parity
     approx_topk: bool = False
@@ -243,10 +248,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser()
     for f in dataclasses.fields(Config):
         name = "--" + f.name
-        if f.type == "bool" or isinstance(f.default, bool):
+        if f.type == "bool" or isinstance(f.default, bool) or f.name == "bf16":
             # BooleanOptionalAction: `--flag` still sets True like the
             # reference's store_true flags, and `--no-flag` can disable
-            # True-by-default framework options (device_batch, bf16)
+            # True-by-default framework options (device_batch); bf16 is
+            # tri-state (None = per-context default, see the field comment)
             parser.add_argument(
                 name, action=argparse.BooleanOptionalAction, default=f.default
             )

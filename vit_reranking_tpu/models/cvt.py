@@ -59,6 +59,64 @@ class CvTSpec:
 CVT13_SPEC = CvTSpec()
 
 
+# Opt-in: route cls-token-free stages' attention through the Pallas TPU
+# flash kernel shipped with JAX (jax.experimental.pallas.ops.tpu
+# .flash_attention) instead of materializing the (T, T_kv) probability
+# matrix (stage 0 at the canonical recipe: (112, 1, 3136, 784) f32 = 1.1 GB
+# per materialization).  Measured on the v5e (scripts/ablate_stage_cost.py,
+# bf16 bs=112): stage-0 fwd+bwd 69.6 ms flash vs 44.7 ms materializing — the
+# 128-padding (3136->3200 q, 784->896 kv) plus the kernel's f32 internals
+# LOSE to XLA's fused softmax at CvT's small head counts, so this stays OFF
+# by default and exists as a memory-headroom knob (larger batch/resolution
+# where the 1.1 GB materialization OOMs before it slows).  ret_attn
+# (rollout) always uses the materializing path — rollout needs the probs.
+USE_FLASH_ATTENTION = False
+
+
+def _block128(n: int, cap: int = 512) -> int:
+    """Largest multiple of 128 <= cap dividing n (n must be a multiple of
+    128; the kernel requires 128-multiple blocks)."""
+    b = (min(n, cap) // 128) * 128
+    while b > 128 and n % b:
+        b -= 128
+    return max(b, 128)
+
+
+def _flash_attention(q, k, v, scale):
+    """Shipped Pallas TPU flash kernel over CvT's uneven token counts: both
+    sequence axes pad to multiples of 128 with segment ids masking the pad
+    (q tokens 3136/784, kv 784/196 at 224px — neither is 128-aligned)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, H, T, D = q.shape
+    Tk = k.shape[2]
+    Tp = -(-T // 128) * 128
+    Tkp = -(-Tk // 128) * 128
+    if Tp != T:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+    if Tkp != Tk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, Tkp - Tk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, Tkp - Tk), (0, 0)))
+    seg = None
+    if Tp != T or Tkp != Tk:
+        qi = (jnp.arange(Tp) < T).astype(jnp.int32)[None].repeat(B, 0)
+        ki = (jnp.arange(Tkp) < Tk).astype(jnp.int32)[None].repeat(B, 0)
+        seg = SegmentIds(q=qi, kv=ki)
+    bq = _block128(Tp)
+    bk = _block128(Tkp)
+    bs = BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_q_dkv=bq,
+        block_k_dkv=bk, block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
+    out = flash_attention(q, k, v, segment_ids=seg, sm_scale=scale, block_sizes=bs)
+    return out[:, :, :T, :]
+
+
 class ConvProj(nn.Module):
     """Depthwise conv + BN projection used for q/k/v (reference cvt.py:131-151).
 
@@ -138,6 +196,19 @@ class CvTAttention(nn.Module):
 
         # scale uses the FULL dim, not head dim (reference cvt.py:105)
         scale = self.dim**-0.5
+        if (
+            USE_FLASH_ATTENTION
+            and not ret_attn
+            and cls_tok is None
+            and self.attn_drop == 0.0
+            and jax.default_backend() == "tpu"
+        ):
+            out = _flash_attention(q, k, v, scale)
+            out = out.transpose(0, 2, 1, 3).reshape(B, -1, self.dim)
+            out = nn.Dense(self.dim, kernel_init=trunc_normal_init(),
+                           dtype=self.dtype, name="proj")(out)
+            out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
+            return out, None
         attn_score = (
             jnp.einsum("bhlk,bhtk->bhlt", q, k, preferred_element_type=jnp.float32)
             * scale
