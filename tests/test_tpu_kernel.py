@@ -70,6 +70,45 @@ _PROBE = textwrap.dedent(
     b = np.asarray(filter_threshold_pallas(flat, kk))
     assert np.array_equal(a, b), np.abs(a - b).max()
     print("filter_threshold_pallas: bit-identical OK")
+
+    # qk separate-cost kernel (round 2) on compiled Mosaic
+    from vit_reranking_tpu.ops.rerank_pallas import fused_qk_rerank_scores
+    from vit_reranking_tpu.ops.similarity import calc_similarity_qk
+    H, D = 12, 32
+    qb_j = jnp.asarray(rng.standard_normal((Q, H, R + 1, D)).astype(np.float32))
+    kb_j = jnp.asarray(rng.standard_normal((Q, H, R + 1, D)).astype(np.float32))
+    out = np.asarray(fused_qk_rerank_scores(fb_j, qb_j, kb_j, top_j, query_tile=128))
+    def one_qk(i):
+        s, _ = calc_similarity_qk(
+            c_j[i], fb_j[i], qb_j[i], c_j[top_j[i]], fb_j[top_j[i]],
+            kb_j[top_j[i]], stage=1)
+        return s
+    ref = np.asarray(jax.vmap(one_qk)(jnp.arange(8)))
+    d = np.abs(out[:8] - ref).max()
+    assert d < 1e-4, d
+    print(f"fused_qk: max diff {d:.2e} OK")
+
+    # K>PAIR_LANES group-exit packing (round 3): K=256 partial OT, thresh=0
+    # forces all iterations so fused and XLA trajectories are identical
+    N2, K2 = 320, 256
+    fb2 = rng.standard_normal((N2, C, R)).astype(np.float32)
+    fb2 /= np.linalg.norm(fb2, axis=1, keepdims=True)
+    c2 = fb2.mean(-1); c2 /= np.linalg.norm(c2, -1, keepdims=True)
+    r2 = np.abs(rng.standard_normal((N2, R))).astype(np.float32)
+    s2 = c2 @ c2.T; np.fill_diagonal(s2, -100)
+    t2 = np.argsort(-s2, 1)[:, :K2].astype(np.int32)
+    fb2_j, c2_j, r2_j, t2_j = map(jnp.asarray, (fb2, c2, r2, t2))
+    out = np.asarray(fused_rollout_rerank_scores(
+        fb2_j, c2_j, r2_j, t2_j, query_tile=64, ot_part=0.5, thresh=0.0))
+    def one_p(i):
+        s, _ = calc_similarity_rollout(
+            c2_j[i], fb2_j[i], r2_j[i], c2_j[t2_j[i]], fb2_j[t2_j[i]],
+            r2_j[t2_j[i]], stage=1, ot_part=0.5, thresh=0.0)
+        return s
+    ref = np.asarray(jax.vmap(one_p)(jnp.arange(8)))
+    d = np.abs(out[:8] - ref).max()
+    assert d < 1e-3, d
+    print(f"K=256 group-exit partial OT: max diff {d:.2e} OK")
     """
 )
 
@@ -86,6 +125,7 @@ def test_fused_kernel_compiles_on_tpu():
         env=env,
         capture_output=True,
         text=True,
-        timeout=540,
+        timeout=1200,
     )
+    print(proc.stdout)  # parity numbers — recorded per round (pytest -s)
     assert proc.returncode == 0, proc.stdout + proc.stderr
