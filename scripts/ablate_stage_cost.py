@@ -9,6 +9,12 @@ canonical shapes:
   flash       attention via the shipped Pallas TPU flash kernel
               (jax.experimental.pallas.ops.tpu.flash_attention) instead of
               materializing the (T, T_kv) probs
+  remat       jax.checkpoint around every block (recompute vs residual HBM
+              traffic on the bandwidth-bound backward)
+  bf16sm      attention scores + softmax in the compute dtype instead of
+              pinned f32 (halves the prob-materialization traffic)
+  noattn      skip score/softmax/value einsums entirely (out = projected q);
+              garbage math, isolates the attention-materialization cost
 
 Usage: python scripts/ablate_stage_cost.py [--stage 0] [--bf16] [--bs 112]
 """
@@ -61,12 +67,56 @@ def main():
                 spec, kernel_qkv=(1, 1, 1), padding_kv=(0, 0, 0),
                 padding_q=(0, 0, 0),
             )
-        stage = CvTStage(spec=spec, index=args.stage, dtype=dtype)
+        stage = CvTStage(spec=spec, index=args.stage, dtype=dtype,
+                         remat=name == "remat", narrow_sm=name == "bf16sm")
         frozen = name == "bn_frozen"
 
         old_flash = getattr(cvt_mod, "USE_FLASH_ATTENTION", None)
+        old_attn = cvt_mod.CvTAttention
         if name == "flash":
             cvt_mod.USE_FLASH_ATTENTION = True
+        if name == "noattn":
+            import flax.linen as nn
+            import jax.numpy as jnp
+            from vit_reranking_tpu.models.common import trunc_normal_init
+
+            class NoAttn(cvt_mod.CvTAttention):
+                @nn.compact
+                def __call__(self, x, h, w, train=False, ret_attn=False):
+                    B, T, C = x.shape
+                    if self.with_cls_token:
+                        cls_tok, tokens = x[:, :1], x[:, 1:]
+                    else:
+                        cls_tok, tokens = None, x
+                    spatial = tokens.reshape(B, h, w, C)
+                    q = cvt_mod.ConvProj(
+                        self.dim, self.kernel, self.stride_q, self.padding_q,
+                        dtype=self.dtype, name="conv_proj_q")(spatial, train)
+                    k = cvt_mod.ConvProj(
+                        self.dim, self.kernel, self.stride_kv, self.padding_kv,
+                        dtype=self.dtype, name="conv_proj_k")(spatial, train)
+                    v = cvt_mod.ConvProj(
+                        self.dim, self.kernel, self.stride_kv, self.padding_kv,
+                        dtype=self.dtype, name="conv_proj_v")(spatial, train)
+                    if cls_tok is not None:
+                        q = jnp.concatenate([cls_tok, q], axis=1)
+                        k = jnp.concatenate([cls_tok, k], axis=1)
+                        v = jnp.concatenate([cls_tok, v], axis=1)
+                    proj = lambda nm: nn.Dense(
+                        self.dim, use_bias=self.qkv_bias,
+                        kernel_init=trunc_normal_init(), dtype=self.dtype,
+                        name=nm)
+                    # keep all projections live (k/v feed the checksum via +0
+                    # mean so their convs/denses aren't DCE'd), drop only the
+                    # score/softmax/value einsums
+                    out = proj("proj_q")(q)
+                    out = out + 0.0 * (jnp.mean(proj("proj_k")(k))
+                                       + jnp.mean(proj("proj_v")(v)))
+                    out = nn.Dense(self.dim, kernel_init=trunc_normal_init(),
+                                   dtype=self.dtype, name="proj")(out)
+                    return out, None
+
+            cvt_mod.CvTAttention = NoAttn
         try:
             v = stage.init({"params": jax.random.PRNGKey(0)}, x[:2], train=False)
 
@@ -91,11 +141,9 @@ def main():
             t = timed(fwd_bwd, v, x, reps=args.reps)
             print(f"{name}: {t*1e3:.1f} ms fwd+bwd (compile {tc:.0f}s)", flush=True)
         finally:
-            if old_flash is None:
-                if hasattr(cvt_mod, "USE_FLASH_ATTENTION"):
-                    cvt_mod.USE_FLASH_ATTENTION = False
-            else:
+            if old_flash is not None:
                 cvt_mod.USE_FLASH_ATTENTION = old_flash
+            cvt_mod.CvTAttention = old_attn
 
     for name in args.cases:
         if name == "flash" and not hasattr(cvt_mod, "USE_FLASH_ATTENTION"):

@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--bs", type=int, default=112)
     ap.add_argument("--size", type=int, default=224)
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--bf16sm", action="store_true",
+                    help="narrow attention scores/softmax to the compute "
+                         "dtype (models/cvt.py::CvTAttention.narrow_sm)")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--trace", default=None, help="jax.profiler trace dir")
     ap.add_argument("--reps", type=int, default=5)
@@ -54,7 +57,8 @@ def main():
     opt = Config(
         dataset="synthetic", arch="cvt_13_normalize", loss="margin",
         batch_mining="distance", bs=args.bs, embed_dim=128,
-        bf16=args.bf16, remat=args.remat, device_batch=False,
+        bf16=args.bf16, narrow_sm=args.bf16sm, remat=args.remat,
+        device_batch=False,
     )
     rng = np.random.default_rng(0)
     images = rng.standard_normal((args.bs, args.size, args.size, 3)).astype(np.float32)
@@ -175,7 +179,8 @@ def micro(args, model, st, imgs_j, key):
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     x = imgs_j
     for i in range(3):
-        stage = CvTStage(spec=CVT13_SPEC, index=i, dtype=dtype)
+        stage = CvTStage(spec=CVT13_SPEC, index=i, dtype=dtype,
+                         narrow_sm=args.bf16sm)
         v = stage.init({"params": jax.random.PRNGKey(i)}, x[:2], train=False)
 
         @jax.jit

@@ -187,6 +187,29 @@ def test_cvt_bf16_close_to_f32():
     assert cos > 0.999, cos
 
 
+def test_cvt_narrow_sm_contract():
+    """narrow_sm (bf16 attention scores/softmax, models/cvt.py::CvTAttention):
+    inert in f32 (bit-identical), close to the pinned-f32 softmax in bf16,
+    and never touches the ret_attn rollout path (rollout needs f32 probs)."""
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((1, 224, 224, 3)), jnp.float32)
+    m32 = archs.CvTNetwork(embed_dim=16)
+    m32n = archs.CvTNetwork(embed_dim=16, narrow_sm=True)
+    v = m32.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    assert bool(jnp.array_equal(m32.apply(v, x, train=False)[0],
+                                m32n.apply(v, x, train=False)[0]))
+
+    mbf = archs.CvTNetwork(embed_dim=16, dtype=jnp.bfloat16)
+    mbfn = archs.CvTNetwork(embed_dim=16, dtype=jnp.bfloat16, narrow_sm=True)
+    ebf = mbf.apply(v, x, train=False)[0]
+    ebfn = mbfn.apply(v, x, train=False)[0]
+    cos = float(jnp.sum(ebf * ebfn, -1)[0])
+    assert cos > 0.999, cos
+    # rollout maps must come from the f32 softmax either way
+    a0 = mbf.apply(v, x, train=False, ret_attn=True)[2]["rollout_maps"]
+    a1 = mbfn.apply(v, x, train=False, ret_attn=True)[2]["rollout_maps"]
+    assert bool(jnp.array_equal(a0, a1))
+
+
 def test_vit_swin_bf16_parity():
     """bf16 activation compute (f32 norms/softmax) stays close to the f32
     forward for ViT and Swin (verdict item 7; same recipe as models/cvt.py)."""

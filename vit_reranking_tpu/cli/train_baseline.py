@@ -45,6 +45,10 @@ def main(argv=None):
         # canonical CvT training default: bf16 activations (96.7 -> 69.8
         # ms/step on the v5e, loss parity to 3 decimals; --no-bf16 opts out)
         opt = opt.replace(bf16=opt.arch.startswith("cvt") and "diml" not in opt.arch)
+    if opt.narrow_sm is None:
+        # bf16 training also narrows the attention softmax (69.8 -> 61.8
+        # ms/step, loss parity; --no-narrow_sm opts out)
+        opt = opt.replace(narrow_sm=bool(opt.bf16))
     seed_everything(opt.seed, debug=opt.debug)
 
     loaders, sampler = build_dataset(opt)

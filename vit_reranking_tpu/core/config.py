@@ -232,6 +232,13 @@ class Config:
     # scripts/profile_train_step.py); eval and other archs stay f32
     # (DeiT measured -4% from the casts around its f32 LayerNorms).
     bf16: Optional[bool] = None
+    # narrow attention softmax: let CvT attention scores/probs follow the
+    # compute dtype instead of pinning f32 (models/cvt.py::CvTAttention
+    # .narrow_sm).  Tri-state like bf16: None = follow bf16 in the CvT
+    # training CLIs (69.8 -> 61.8 ms/step at the canonical recipe, loss
+    # parity; measured by scripts/profile_train_step.py --bf16sm); inert
+    # for f32, eval rollout paths, and other archs.
+    narrow_sm: Optional[bool] = None
     # stage-0 retrieval via TPU approx_max_k per gallery block (~2.4x at SOP
     # scale, empirical recall 1.0 at target 0.99); default exact = faiss parity
     approx_topk: bool = False
@@ -248,11 +255,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser()
     for f in dataclasses.fields(Config):
         name = "--" + f.name
-        if f.type == "bool" or isinstance(f.default, bool) or f.name == "bf16":
+        if f.type == "bool" or isinstance(f.default, bool) or f.name in ("bf16", "narrow_sm"):
             # BooleanOptionalAction: `--flag` still sets True like the
             # reference's store_true flags, and `--no-flag` can disable
-            # True-by-default framework options (device_batch); bf16 is
-            # tri-state (None = per-context default, see the field comment)
+            # True-by-default framework options (device_batch); bf16 and
+            # narrow_sm are tri-state (None = per-context default, see the
+            # field comments)
             parser.add_argument(
                 name, action=argparse.BooleanOptionalAction, default=f.default
             )

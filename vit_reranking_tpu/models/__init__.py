@@ -91,6 +91,7 @@ def select(arch: str, opt):
         return CvTNetwork(
             embed_dim=embed_dim, normalize=normalize,
             remat=bool(getattr(opt, "remat", False)),
+            narrow_sm=bool(getattr(opt, "narrow_sm", False)),
             dtype=jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32,
         )
     raise NotImplementedError(f"architecture {arch} not available")

@@ -72,7 +72,6 @@ CVT13_SPEC = CvTSpec()
 # (rollout) always uses the materializing path — rollout needs the probs.
 USE_FLASH_ATTENTION = False
 
-
 def _block128(n: int, cap: int = 512) -> int:
     """Largest multiple of 128 <= cap dividing n (n must be a multiple of
     128; the kernel requires 128-multiple blocks)."""
@@ -163,6 +162,15 @@ class CvTAttention(nn.Module):
     with_cls_token: bool
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    # narrow_sm: let the attention scores + softmax follow the compute dtype
+    # instead of pinning f32 via preferred_element_type.  In bf16 mode this
+    # halves the HBM traffic of the (T, T_kv) probability materialization —
+    # the stage-0/1 bottleneck at canonical shapes — at ~3e-3 softmax error
+    # (MXU accumulation is unchanged; only the stored scores/probs narrow).
+    # Measured on the v5e (scripts/profile_train_step.py --bf16 --bf16sm,
+    # bs=112/224px): full train step 69.8 -> 61.8 ms.  No effect in f32 or
+    # when ret_attn needs the f32 probabilities for rollout.
+    narrow_sm: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -209,8 +217,12 @@ class CvTAttention(nn.Module):
                            dtype=self.dtype, name="proj")(out)
             out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
             return out, None
+        narrow_sm = self.narrow_sm and not ret_attn and self.dtype != jnp.float32
         attn_score = (
-            jnp.einsum("bhlk,bhtk->bhlt", q, k, preferred_element_type=jnp.float32)
+            jnp.einsum(
+                "bhlk,bhtk->bhlt", q, k,
+                preferred_element_type=None if narrow_sm else jnp.float32,
+            )
             * scale
         )
         attn = jax.nn.softmax(attn_score, axis=-1)
@@ -241,6 +253,7 @@ class CvTBlock(nn.Module):
     padding_q: int
     padding_kv: int
     with_cls_token: bool
+    narrow_sm: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -259,6 +272,7 @@ class CvTBlock(nn.Module):
             with_cls_token=self.with_cls_token,
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
+            narrow_sm=self.narrow_sm,
             dtype=self.dtype,
             name="attn",
         )(y, h, w, train, ret_attn)
@@ -289,6 +303,7 @@ class CvTStage(nn.Module):
     index: int
     rollout_grid: int = 7
     remat: bool = False
+    narrow_sm: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -337,6 +352,7 @@ class CvTStage(nn.Module):
                 padding_q=s.padding_q[i],
                 padding_kv=s.padding_kv[i],
                 with_cls_token=with_cls,
+                narrow_sm=self.narrow_sm,
                 dtype=self.dtype,
                 name=f"block{j}",
             )(tokens, H, W, train, ret_attn)
@@ -359,6 +375,7 @@ class ConvolutionalVisionTransformer(nn.Module):
     spec: CvTSpec = CVT13_SPEC
     rollout_grid: int = 7
     remat: bool = False
+    narrow_sm: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -368,7 +385,7 @@ class ConvolutionalVisionTransformer(nn.Module):
         for i in range(self.spec.num_stages):
             x, cls_tokens, maps = CvTStage(
                 self.spec, i, rollout_grid=self.rollout_grid, remat=self.remat,
-                dtype=self.dtype, name=f"stage{i}"
+                narrow_sm=self.narrow_sm, dtype=self.dtype, name=f"stage{i}"
             )(x, train, ret_attn)
             rollout_maps.extend(maps)
         return x, cls_tokens, rollout_maps
@@ -387,6 +404,7 @@ class CvTNetwork(nn.Module):
     normalize: bool = True
     rollout_grid: int = 7
     remat: bool = False
+    narrow_sm: bool = False
     dtype: Any = jnp.float32
     spec: CvTSpec = CVT13_SPEC
 
@@ -394,7 +412,7 @@ class CvTNetwork(nn.Module):
     def __call__(self, x, train: bool = False, ret_attn: bool = False):
         trunk = ConvolutionalVisionTransformer(
             self.spec, rollout_grid=self.rollout_grid, remat=self.remat,
-            dtype=self.dtype, name="trunk"
+            narrow_sm=self.narrow_sm, dtype=self.dtype, name="trunk"
         )
         tokens_hw, cls_tok, rollout_maps = trunk(x, train, ret_attn)
         B, H, W, C = tokens_hw.shape
