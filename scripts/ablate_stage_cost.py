@@ -77,7 +77,6 @@ def main():
             cvt_mod.USE_FLASH_ATTENTION = True
         if name == "noattn":
             import flax.linen as nn
-            import jax.numpy as jnp
             from vit_reranking_tpu.models.common import trunc_normal_init
 
             class NoAttn(cvt_mod.CvTAttention):
