@@ -44,10 +44,16 @@ def main():
                     help="narrow attention scores/softmax to the compute "
                          "dtype (models/cvt.py::CvTAttention.narrow_sm)")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--arch", default="cvt_13_normalize",
+                    help="e.g. cvt_13_diml for the structural-loss step")
+    ap.add_argument("--loss", default="margin",
+                    help="e.g. margin_diml (train_diml.py's default pairing)")
     ap.add_argument("--trace", default=None, help="jax.profiler trace dir")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--micro_only", action="store_true",
                     help="skip the full train step (avoids its ~10-25 min compile)")
+    ap.add_argument("--full_only", action="store_true",
+                    help="skip the micro fwd/bwd/per-stage timings (8 compiles)")
     args = ap.parse_args()
 
     from vit_reranking_tpu.cli.common import build_training, seed_everything
@@ -55,7 +61,7 @@ def main():
 
     seed_everything(0)
     opt = Config(
-        dataset="synthetic", arch="cvt_13_normalize", loss="margin",
+        dataset="synthetic", arch=args.arch, loss=args.loss,
         batch_mining="distance", bs=args.bs, embed_dim=128,
         bf16=args.bf16, narrow_sm=args.bf16sm, remat=args.remat,
         device_batch=False,
@@ -124,7 +130,8 @@ def main():
     except Exception as e:  # cost_analysis availability varies by backend
         print("cost_analysis unavailable:", e)
 
-    micro(args, model, st, imgs_j, key)
+    if not args.full_only:
+        micro(args, model, st, imgs_j, key)
 
     if args.trace:
         import os

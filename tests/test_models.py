@@ -210,6 +210,21 @@ def test_cvt_narrow_sm_contract():
     assert bool(jnp.array_equal(a0, a1))
 
 
+def test_cvt_diml_bf16_parity():
+    """CvTDIML (structural per-patch variant) with bf16 trunk + narrow_sm
+    stays close to the f32 forward; the per-patch head output is f32."""
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((1, 224, 224, 3)), jnp.float32)
+    m32 = archs.CvTDIML(embed_dim=16)
+    mbf = archs.CvTDIML(embed_dim=16, dtype=jnp.bfloat16, narrow_sm=True)
+    v = m32.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    p32, (g32, _), _ = m32.apply(v, x, train=False)
+    pbf, (gbf, _), _ = mbf.apply(v, x, train=False)
+    assert pbf.dtype == jnp.float32 and gbf.dtype == jnp.float32
+    c = np.asarray(jnp.sum(p32 * pbf, -1) / (jnp.linalg.norm(p32, axis=-1)
+                                             * jnp.linalg.norm(pbf, axis=-1)))
+    assert c.min() > 0.995, c.min()
+
+
 def test_vit_swin_bf16_parity():
     """bf16 activation compute (f32 norms/softmax) stays close to the f32
     forward for ViT and Swin (verdict item 7; same recipe as models/cvt.py)."""

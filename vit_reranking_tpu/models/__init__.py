@@ -79,10 +79,15 @@ def select(arch: str, opt):
         )
     if a.startswith("cvt"):
         if "diml" in a:
+            import jax.numpy as jnp
+
             return CvTDIML(
                 embed_dim=embed_dim,
                 grid_size=getattr(opt, "grid_size", 7),
                 normalize=normalize,
+                remat=bool(getattr(opt, "remat", False)),
+                narrow_sm=bool(getattr(opt, "narrow_sm", False)),
+                dtype=jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32,
             )
         if "fp" in a:  # fpn pooling variant (reference cvt.FPNetwork)
             return CvTFPNetwork(embed_dim=embed_dim, normalize=normalize)

@@ -483,15 +483,22 @@ class CvTDIML(nn.Module):
     grid_size: int = 7
     normalize: bool = False
     rollout_grid: int = 7
+    remat: bool = False
+    narrow_sm: bool = False
+    dtype: Any = jnp.float32
     spec: CvTSpec = CVT13_SPEC
 
     @nn.compact
     def __call__(self, x, train: bool = False, ret_attn: bool = False):
         trunk = ConvolutionalVisionTransformer(
-            self.spec, rollout_grid=self.rollout_grid, name="trunk"
+            self.spec, rollout_grid=self.rollout_grid, remat=self.remat,
+            narrow_sm=self.narrow_sm, dtype=self.dtype, name="trunk"
         )
         tokens_hw, cls_tok, rollout_maps = trunk(x, train, ret_attn)
         B, H, W, C = tokens_hw.shape
+        # per-patch head + structural loss stay f32 (parity-critical OT)
+        tokens_hw = tokens_hw.astype(jnp.float32)
+        cls_tok = cls_tok.astype(jnp.float32)
 
         norm = LayerNormFp32(name="norm")
         tokens = norm(tokens_hw.reshape(B, H * W, C))
