@@ -37,6 +37,15 @@ def test_config_roundtrip():
     assert cfg.loss_margin_beta == 1.2  # defaults preserved
 
 
+def test_config_tristate_dtype_flags():
+    """bf16 / narrow_sm are tri-state: None (per-context default) unless the
+    flag or its --no- form is given (cli/train_baseline.py resolves None)."""
+    cfg = from_args(["--dataset", "cars196"])
+    assert cfg.bf16 is None and cfg.narrow_sm is None
+    cfg = from_args(["--dataset", "cars196", "--bf16", "--no-narrow_sm"])
+    assert cfg.bf16 is True and cfg.narrow_sm is False
+
+
 def test_sharded_train_step_decreases_loss():
     """Full train step over the 8-device mesh with a tiny MLP-ish model."""
     import flax.linen as nn
