@@ -137,11 +137,13 @@ def test_msls_val_writes_heatmaps(tmp_path):
     ds = SyntheticMSLS(n_queries=12, n_db=24, nNeg=2, image_size=32, seed=3)
 
     def extract(imgs):
+        # must be jax-traceable: msls_val compiles whole extraction chunks
+        # into one program (engine/msls_val.py::_embed_names)
         x = imgs.reshape(imgs.shape[0], -1, 3).mean(1)
-        x = np.concatenate([x, imgs.reshape(imgs.shape[0], 8, -1).mean(-1)], -1)
-        c = x / np.linalg.norm(x, axis=-1, keepdims=True)
-        d = np.repeat(c[:, :, None], 4, axis=2).astype(np.float32)
-        return c.astype(np.float32), d
+        x = jnp.concatenate([x, imgs.reshape(imgs.shape[0], 8, -1).mean(-1)], -1)
+        c = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+        d = jnp.repeat(c[:, :, None], 4, axis=2).astype(jnp.float32)
+        return c.astype(jnp.float32), d
 
     out = msls_val(
         ds, extract, trunc_nums=(0, 4), batch=8,
