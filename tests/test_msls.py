@@ -79,6 +79,41 @@ def test_msls_val_recall(msls):
     assert recalls["globalR_5"] > 0.5, recalls
 
 
+def test_recall_at_n_matches_reference_loop():
+    """The vectorized Recall@N (engine/msls_val.py::recall_at_n) must
+    value-match a literal transcription of the reference's per-row loop
+    (reference training_tools/val.py:211-226): for each query, the first
+    rank n whose pred[:n] intersects gt credits correct_at_n[i:]."""
+    from vit_reranking_tpu.engine.msls_val import recall_at_n
+
+    rng = np.random.default_rng(11)
+    n_values = [1, 5, 10, 20, 50, 100]
+    # two "cities" with different query counts and kk < max(n_values)
+    pred_list = [
+        rng.integers(0, 60, size=(13, 30)).astype(np.int64),
+        rng.integers(0, 60, size=(7, 30)).astype(np.int64),
+    ]
+    n_queries = 13 + 7
+    gt = []
+    for q in range(n_queries):
+        k = int(rng.integers(0, 5))  # some queries have NO positives
+        gt.append(rng.integers(0, 60, size=k).astype(np.int64))
+
+    ours = recall_at_n(pred_list, gt, n_values, n_queries)
+
+    # literal transcription of val.py:213-226
+    predictions = np.vstack(pred_list)
+    correct_at_n = np.zeros(len(n_values))
+    for qIx, pred in enumerate(predictions):
+        for i, n in enumerate(n_values):
+            if np.any(np.in1d(pred[:n], gt[qIx])):
+                correct_at_n[i:] += 1
+                break
+    ref = correct_at_n / n_queries
+
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-12)
+
+
 def test_msls_losses_finite():
     rng = np.random.default_rng(0)
     s = jnp.asarray(rng.standard_normal((12, 16)).astype(np.float32))

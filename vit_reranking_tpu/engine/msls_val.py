@@ -95,6 +95,33 @@ def _embed_names(eval_set, names, extract_fn, batch=16):
     return centers, dense
 
 
+def recall_at_n(pred_list, gt, n_values, n_queries):
+    """Recall@N vs UTM ground truth (reference val.py:211-251), vectorized:
+    per city one (nq, kk, G) broadcast compare + cumulative-hit reduction on
+    device instead of the reference's per-row python loop.  ``pred_list`` is
+    one (nq_city, kk) index array per city; ``gt`` the concatenated per-query
+    positive lists (ragged).  Value-matches the reference loop exactly
+    (tests/test_msls.py::test_recall_at_n_matches_reference_loop)."""
+    correct = np.zeros(len(n_values))
+    qix = 0
+    for city_preds in pred_list:
+        nq, kk = city_preds.shape
+        g = gt[qix : qix + nq]
+        gmax = max((len(x) for x in g), default=0)
+        gtpad = np.full((nq, max(gmax, 1)), -1, np.int64)
+        for i, x in enumerate(g):
+            gtpad[i, : len(x)] = x
+        hits = jnp.any(
+            jnp.asarray(city_preds)[:, :, None] == jnp.asarray(gtpad)[:, None, :],
+            axis=-1,
+        )  # (nq, kk)
+        hit_by_rank = jnp.cumsum(hits, axis=1) > 0
+        cols = [min(n, kk) - 1 for n in n_values]
+        correct += np.asarray(jnp.sum(hit_by_rank[:, jnp.asarray(cols)], axis=0))
+        qix += nq
+    return correct / max(n_queries, 1)
+
+
 def msls_val(
     eval_set,
     extract_fn: Callable,
@@ -220,27 +247,7 @@ def msls_val(
         dbTot += dbEnd
 
     def recalls(pred_list):
-        """Recall@N vs UTM ground truth (val.py:211-251), vectorized: per
-        city one (nq, kk, G) broadcast compare + cumulative-hit reduction on
-        device instead of the reference's per-row python loop."""
-        correct = np.zeros(len(n_values))
-        qix = 0
-        for city_preds in pred_list:
-            nq, kk = city_preds.shape
-            g = gt[qix : qix + nq]
-            gmax = max((len(x) for x in g), default=0)
-            gtpad = np.full((nq, max(gmax, 1)), -1, np.int64)
-            for i, x in enumerate(g):
-                gtpad[i, : len(x)] = x
-            hits = jnp.any(
-                jnp.asarray(city_preds)[:, :, None] == jnp.asarray(gtpad)[:, None, :],
-                axis=-1,
-            )  # (nq, kk)
-            hit_by_rank = jnp.cumsum(hits, axis=1) > 0
-            cols = [min(n, kk) - 1 for n in n_values]
-            correct += np.asarray(jnp.sum(hit_by_rank[:, jnp.asarray(cols)], axis=0))
-            qix += nq
-        return correct / max(len(eval_set.qIdx), 1)
+        return recall_at_n(pred_list, gt, n_values, len(eval_set.qIdx))
 
     out = {}
     g = recalls(predictions)
