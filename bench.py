@@ -12,6 +12,7 @@ per-query loop on this host — torch-CPU, since no CUDA device exists here;
 falls back to a recorded constant when the reference checkout is absent.
 """
 
+import functools
 import json
 import os
 import sys
@@ -19,7 +20,11 @@ import time
 
 import numpy as np
 
-Q, K, C, R = 1024, 100, 128, 49
+# Q amortizes this host's fixed per-dispatch RTT (~27 ms measured,
+# scripts/bench_rerank_scaling.py) so the recorded number is the kernel's
+# sustained throughput, matching the SOP-scale eval sweep; the per-rep
+# host-forced transfer protocol is unchanged.
+Q, K, C, R = 16384, 100, 128, 49
 REFERENCE = "/root/reference"
 # torch-CPU reference throughput measured on this host (pairs/sec); used when
 # /root/reference is not mounted so the ratio stays comparable across rounds
@@ -40,31 +45,32 @@ def bench_tpu(fb, centers, rollout, top_inds, ot_part=1.0):
     import jax.numpy as jnp
     from vit_reranking_tpu.ops.rerank_pallas import fused_rollout_rerank_scores
 
-    fb_j = jnp.asarray(fb)
-    c_j = jnp.asarray(centers)
-    r_j = jnp.asarray(rollout)
-    inds = jnp.asarray(top_inds)
     interpret = jax.default_backend() != "tpu"
 
-    @jax.jit
-    def scored():
+    # arrays are jit ARGUMENTS, not closures: the axon remote-compile ships
+    # closure constants inside the compile request (HTTP 413 past ~100 MB)
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def scored(fb_j, c_j, r_j, inds, ot_part):
         out = fused_rollout_rerank_scores(
-            fb_j, c_j, r_j, inds, query_tile=256, ot_part=ot_part,
-            interpret=interpret,
+            fb_j, c_j, r_j, inds, ot_part=ot_part, interpret=interpret,
         )
         # checksum depends on every score -> forces full execution, but the
-        # per-rep host transfer is 4 bytes instead of the 400 KB result
+        # per-rep host transfer is 4 bytes instead of the full result
         # (device->host rides a ~22 MB/s tunnel here; the kernel itself is
         # what this benchmark times)
         return jnp.sum(out)
 
+    args = (
+        jnp.asarray(fb), jnp.asarray(centers), jnp.asarray(rollout),
+        jnp.asarray(top_inds), ot_part,
+    )
     # NOTE: under the axon remote runtime block_until_ready() can return
     # before execution completes — force a host transfer to time honestly
-    np.asarray(scored())  # compile + warm
+    np.asarray(scored(*args))  # compile + warm
     n_rep = 5
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        out = np.asarray(scored())
+        out = np.asarray(scored(*args))
     dt = (time.perf_counter() - t0) / n_rep
     return Q * K / dt
 
@@ -116,7 +122,11 @@ def main():
     fb, centers, rollout = make_problem(rng)
     sims = centers @ centers.T
     np.fill_diagonal(sims, -100.0)
-    top_inds = np.argsort(-sims, axis=1)[:, :K].astype(np.int32)
+    # top-K via argpartition: a full row argsort of the Q x Q matrix costs
+    # minutes at Q=16k on this single-core host
+    part = np.argpartition(-sims, K, axis=1)[:, :K]
+    order = np.take_along_axis(sims, part, 1).argsort(1)[:, ::-1]
+    top_inds = np.take_along_axis(part, order, 1).astype(np.int32)
 
     pps = bench_tpu(fb, centers, rollout, top_inds, ot_part=ot_part)
     base = bench_reference_torch(fb, centers, rollout, top_inds, ot_part=ot_part)

@@ -41,7 +41,7 @@ PAIR_LANES = 128  # pairs per grid step (P); multiple of 128 (tuned on v5e:
 
 def _sinkhorn_score_kernel(
     S_ref, u_ref, v_ref, *rest, iters, thresh, ot_temp, ot_part=1.0,
-    group_valid=None, has_cost=False,
+    group_valid=None, has_cost=False, loop="while",
 ):
     """rest = (C_ref, out_ref) when ``has_cost`` — C carries a SEPARATE
     cost/attention map for the OT kernel (the qk method builds K from the
@@ -121,9 +121,16 @@ def _sinkhorn_score_kernel(
             done = jnp.maximum(done, (err < thresh).astype(jnp.float32))
         return i + 1, r_new, c_new, done
 
-    _, r, c, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), r0, c0, done0)
-    )
+    if loop == "fori":
+        # static trip count: bit-identical to the while_loop (frozen lanes
+        # are masked no-ops) but keeps the kernel's schedule fully static
+        _, r, c, _ = jax.lax.fori_loop(
+            0, iters, lambda i, carry: body(carry), (jnp.int32(0), r0, c0, done0)
+        )
+    else:
+        _, r, c, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), r0, c0, done0)
+        )
 
     # score = sum_sm r K c S without a 3D temporary: contract m first
     t1 = jnp.sum((Km * S) * c[None, :, :], axis=1)  # (R_s, P)
@@ -132,7 +139,10 @@ def _sinkhorn_score_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "thresh", "ot_temp", "ot_part", "interpret", "group_valid"),
+    static_argnames=(
+        "iters", "thresh", "ot_temp", "ot_part", "interpret", "group_valid",
+        "loop",
+    ),
 )
 def sinkhorn_scores_packed(
     S_packed: jnp.ndarray,
@@ -145,6 +155,7 @@ def sinkhorn_scores_packed(
     interpret: bool = False,
     group_valid: Optional[int] = None,
     C_packed: Optional[jnp.ndarray] = None,
+    loop: str = "while",
 ) -> jnp.ndarray:
     """sum(T * S) per pair from packed inputs.
 
@@ -165,6 +176,7 @@ def sinkhorn_scores_packed(
     kernel = functools.partial(
         _sinkhorn_score_kernel, iters=iters, thresh=thresh, ot_temp=ot_temp,
         ot_part=ot_part, group_valid=group_valid, has_cost=has_cost,
+        loop=loop,
     )
     S_spec = pl.BlockSpec((1, Rs, Rm, P), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     in_specs = [
@@ -265,6 +277,26 @@ def fused_rerank_tile(
     T, K, C, R = fb_g.shape
     if group_exit is None:
         group_exit = ot_part <= 0.999
+    if not group_exit and cost is None and T == P:
+        # Fast path (measured 1.35x at the bench geometry): the einsum emits
+        # the packed pairs-on-lanes layout DIRECTLY — queries ride the lane
+        # axis, one grid step per candidate rank k, no pad.  The _pack_pairs
+        # moveaxis below is a strided transpose that XLA must materialize
+        # when its consumer is a pallas_call (~16 GB of extra HBM traffic at
+        # SOP-bench scale); with 'ksmt' output XLA folds the permutation
+        # into the dot epilogue (scripts/ablate_rerank_prep.py).
+        Sp = jnp.einsum(
+            "tcm,tkcs->ksmt", anchors, fb_g,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (K, R_s, R_m, T)
+        up = jnp.transpose(u, (1, 2, 0))  # (K, R, T)
+        vp = jnp.transpose(v, (1, 2, 0))
+        scores = sinkhorn_scores_packed(
+            Sp, up, vp, iters=iters, thresh=thresh, ot_temp=ot_temp,
+            ot_part=ot_part, interpret=interpret,
+        )  # (K, T)
+        return jnp.transpose(scores, (1, 0))
     S = jnp.einsum(
         "tcm,tkcs->tksm", anchors, fb_g,
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
@@ -322,7 +354,7 @@ def fused_rollout_rerank_scores(
     ot_temp: float = 0.05,
     iters: int = 100,
     thresh: float = 1e-1,
-    query_tile: int = 256,
+    query_tile: int = 128,
     use_uniform: bool = False,
     ot_part: float = 1.0,
     interpret: bool = False,
@@ -369,7 +401,7 @@ def fused_featvit_rerank_scores(
     ot_temp: float = 0.05,
     iters: int = 100,
     thresh: float = 1e-1,
-    query_tile: int = 256,
+    query_tile: int = 128,
     use_uniform: bool = False,
     use_inverse: bool = False,
     use_minus: bool = False,
@@ -416,7 +448,7 @@ def fused_qk_rerank_scores(
     top_inds: jnp.ndarray,
     iters: int = 100,
     thresh: float = 1e-1,
-    query_tile: int = 256,
+    query_tile: int = 128,
     use_uniform: bool = False,
     use_exp: bool = False,
     temperature: float = 1.0,
@@ -490,7 +522,7 @@ def fused_featvit_rerank_scores_qg(
     ot_temp: float = 0.05,
     iters: int = 100,
     thresh: float = 1e-1,
-    query_tile: int = 256,
+    query_tile: int = 128,
     use_uniform: bool = False,
     use_inverse: bool = False,
     use_minus: bool = False,
