@@ -411,3 +411,34 @@ def test_fused_rollout_geometry_fuzz(seed, R, K, tile):
         ref = np.asarray(jax.vmap(one)(jnp.arange(N)))
         assert out.shape == (N, K)
         np.testing.assert_allclose(out, ref, rtol=5e-3, atol=1e-4)
+
+
+def test_einsum_direct_packing_matches_moveaxis_pack():
+    """query_tile == PAIR_LANES takes the einsum-direct packed layout
+    ('tcm,tkcs->ksmt', queries on lanes, no pad) — scores must equal the
+    moveaxis-packed path exactly (same per-lane computation, only the lane
+    assignment differs) and track the XLA reference."""
+    from vit_reranking_tpu.ops.rerank_pallas import fused_rerank_tile
+
+    rng = np.random.default_rng(11)
+    T, K, C, R = 8, 5, 16, 7
+    an = rng.standard_normal((T, C, R)).astype(np.float32)
+    an /= np.linalg.norm(an, axis=1, keepdims=True)
+    fb = rng.standard_normal((T, K, C, R)).astype(np.float32)
+    fb /= np.linalg.norm(fb, axis=2, keepdims=True)
+    u = np.abs(rng.standard_normal((T, K, R)).astype(np.float32))
+    u /= u.sum(-1, keepdims=True)
+    v = np.abs(rng.standard_normal((T, K, R)).astype(np.float32))
+    v /= v.sum(-1, keepdims=True)
+    an_j, fb_j, u_j, v_j = map(jnp.asarray, (an, fb, u, v))
+
+    # P == T -> einsum-direct fast path; P != T -> moveaxis pack
+    fast = fused_rerank_tile(
+        an_j, fb_j, u_j, v_j, iters=50, interpret=True, P=T, group_exit=False
+    )
+    packed = fused_rerank_tile(
+        an_j, fb_j, u_j, v_j, iters=50, interpret=True, P=16, group_exit=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(packed), rtol=1e-6, atol=1e-7
+    )
