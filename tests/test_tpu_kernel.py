@@ -93,7 +93,7 @@ _PROBE = textwrap.dedent(
     N2, K2 = 320, 256
     fb2 = rng.standard_normal((N2, C, R)).astype(np.float32)
     fb2 /= np.linalg.norm(fb2, axis=1, keepdims=True)
-    c2 = fb2.mean(-1); c2 /= np.linalg.norm(c2, -1, keepdims=True)
+    c2 = fb2.mean(-1); c2 /= np.linalg.norm(c2, axis=-1, keepdims=True)
     r2 = np.abs(rng.standard_normal((N2, R))).astype(np.float32)
     s2 = c2 @ c2.T; np.fill_diagonal(s2, -100)
     t2 = np.argsort(-s2, 1)[:, :K2].astype(np.int32)

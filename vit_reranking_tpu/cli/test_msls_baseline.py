@@ -32,10 +32,10 @@ def main(argv=None):
             "batch_stats": restored.get("batch_stats", {}),
         }
 
-    extract = make_extract_fn(model, variables, batch=8, with_dense=opt.use_ot,
-                              grid_size=opt.grid_size)
+    extract = make_extract_fn(model, with_dense=opt.use_ot, grid_size=opt.grid_size)
     recalls = msls_val(
-        eval_set, extract, trunc_nums=(0, 100) if opt.use_ot else (0,), batch=8
+        eval_set, extract, trunc_nums=(0, 100) if opt.use_ot else (0,), batch=8,
+        variables=variables,
     )
     for k, v in recalls.items():
         print(f"====> {k.replace('globalR_', 'Recall@').replace('dimlR_', 'DIML Recall@')}: {v:.4f}")

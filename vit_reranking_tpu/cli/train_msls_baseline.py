@@ -109,6 +109,13 @@ import functools
 
 
 @functools.lru_cache(maxsize=8)
+def _drift_extract(model):
+    """Stable (variables, images) extractor for the drift probe — one cache
+    entry per model so the msls_val chunk program compiles once."""
+    return lambda variables, imgs: (_mining_embed(model)(variables, imgs), None)
+
+
+@functools.lru_cache(maxsize=8)
 def _mining_embed(model):
     """Jitted global-descriptor forward for subcache mining, cached per
     model so every subcache reuses one compiled executable."""
@@ -117,12 +124,18 @@ def _mining_embed(model):
     )
 
 
-def make_extract_fn(model, variables, batch: int, with_dense: bool, grid_size: int = 7):
+@functools.lru_cache(maxsize=8)
+def make_extract_fn(model, with_dense: bool, grid_size: int = 7):
+    """Stable extract fn for msls_val: ``fn(variables, images)`` with the
+    parameters as a runtime argument (pass them via msls_val's
+    ``variables=``).  Cached on hashable keys so the compiled chunk program
+    in engine/msls_val.py is reused across epochs instead of retracing per
+    fresh closure (and old parameter pytrees are never pinned)."""
     from ..engine.extract import make_embed_fn
 
     embed = make_embed_fn(model, grid_size=grid_size, training_mode=False)
 
-    def fn(images):
+    def fn(variables, images):
         res = embed(variables, jnp.asarray(images))
         return res["center"], (res["bank"] if with_dense else None)
 
@@ -254,11 +267,12 @@ def main(argv=None):
                 from ..engine.msls_val import _embed_names
 
                 # traceable fn: _embed_names traces it inside one compiled
-                # chunk program (np.asarray-style wrappers would break)
+                # chunk program (np.asarray-style wrappers would break);
+                # mine_vars ride in as a runtime argument so the program
+                # compiles once per training run, not per subcache
                 cur, _ = _embed_names(
-                    val_set, list(val_set.qImages),
-                    lambda imgs: (_mining_embed(model)(mine_vars, imgs), None),
-                    batch=16,
+                    val_set, list(val_set.qImages), _drift_extract(model),
+                    batch=16, variables=mine_vars,
                 )
                 np.savez(f"{logger.run_dir}/feat_{drift_idx}.npz", qFeat=cur)
                 if prev_drift_feat is not None:
@@ -330,8 +344,10 @@ def main(argv=None):
         logger.log("Train", {"loss": float(np.mean(epoch_losses))}, epoch)
 
         if epoch % opt.evalevery == 0 or epoch == opt.n_epochs - 1:
-            extract = make_extract_fn(model, variables, batch=8, with_dense=False)
-            recalls = msls_val(val_set, extract, trunc_nums=(0,), batch=8)
+            extract = make_extract_fn(model, with_dense=False)
+            recalls = msls_val(
+                val_set, extract, trunc_nums=(0,), batch=8, variables=variables
+            )
             logger.log("Test", recalls, epoch)
             print(f"  val: " + ", ".join(f"{k}={v:.3f}" for k, v in recalls.items()))
             save_checkpoint(f"{logger.run_dir}/latest", variables, recalls)

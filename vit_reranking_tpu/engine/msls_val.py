@@ -27,9 +27,28 @@ from ..ops.similarity import calc_similarity, l2_normalize
 _CHUNK_BATCHES = 32
 
 
-@functools.lru_cache(maxsize=8)
-def _make_pool_extract(extract_fn, batch: int):
-    """ONE compiled program embedding `nb` fixed-size batches via lax.map."""
+@functools.lru_cache(maxsize=4)
+def _make_pool_extract(extract_fn, batch: int, with_vars: bool):
+    """ONE compiled program embedding `nb` fixed-size batches via lax.map.
+
+    Cached per (extract_fn, batch): pass a STABLE function (hoisted out of
+    the epoch loop) or the chunk program retraces every call.  With
+    ``with_vars`` the parameters flow in as a runtime jit argument, so
+    per-epoch parameter updates reuse one executable and the cache never
+    pins old parameter pytrees in device memory."""
+
+    if with_vars:
+
+        @jax.jit
+        def run(variables, images):  # (nb*batch, H, W, 3)
+            nb = images.shape[0] // batch
+            batches = images.reshape(nb, batch, *images.shape[1:])
+            c, d = jax.lax.map(lambda b: extract_fn(variables, b), batches)
+            c = c.reshape(nb * batch, *c.shape[2:])
+            d = None if d is None else d.reshape(nb * batch, *d.shape[2:])
+            return c, d
+
+        return run
 
     @jax.jit
     def run(images):  # (nb*batch, H, W, 3)
@@ -43,10 +62,13 @@ def _make_pool_extract(extract_fn, batch: int):
     return run
 
 
-def _embed_names(eval_set, names, extract_fn, batch=16):
+def _embed_names(eval_set, names, extract_fn, batch=16, variables=None):
     """Load keys by name via the dataset and embed them through compiled
     super-chunks.  extract_fn(images) -> (centers (B, D), dense (B, C, R) or
-    None); it is traced (not dispatched) inside the chunk program.
+    None); it is traced (not dispatched) inside the chunk program.  When
+    ``variables`` is given the contract is extract_fn(variables, images) and
+    the parameters are a runtime argument of the compiled program (preferred
+    for in-training validation: no retrace per epoch, no parameter pinning).
 
     Sequence keys (comma-joined frames, tasks im2seq/seq2im/seq2seq) load as
     (L, H, W, 3) stacks; frames flatten into fixed (batch,)-sized forwards,
@@ -58,7 +80,9 @@ def _embed_names(eval_set, names, extract_fn, batch=16):
 
     if not len(names):
         return np.zeros((0, 1), np.float32), None
-    run = _make_pool_extract(extract_fn, batch)
+    run = _make_pool_extract(extract_fn, batch, variables is not None)
+    if variables is not None:
+        run = functools.partial(run, variables)
 
     # probe the first key for the sequence shape
     first = eval_set.load_image_array(names[0])
@@ -68,6 +92,11 @@ def _embed_names(eval_set, names, extract_fn, batch=16):
     n_batches = -(-n_flat // batch)
     nb_chunk = min(_CHUNK_BATCHES, n_batches)
     chunk_frames = nb_chunk * batch
+    if L > chunk_frames:
+        # one key's frames must fit a single chunk (the pad below only
+        # rounds UP to chunk_frames): widen the chunk to the next batch
+        # multiple of L
+        chunk_frames = -(-L // batch) * batch
     keys_per_chunk = max(chunk_frames // L, 1)
 
     c_parts, d_parts = [], []
@@ -131,6 +160,7 @@ def msls_val(
     rerank_flags: Optional[dict] = None,
     visual_dir: Optional[str] = None,
     vis_every: int = 10,
+    variables=None,
 ) -> Dict[str, float]:
     """Returns {'globalR_N': ..., 'dimlR_N': ...} recall dict.
 
@@ -138,6 +168,9 @@ def msls_val(
     use_minus=True, use_cls_token=True, temperature=0.1, ot_part=1.0.
     ``visual_dir`` saves the reranked-top-1 OT heatmap panel for every
     ``vis_every``-th query per city (reference val.py:188-190).
+    ``variables`` switches the extract contract to extract_fn(variables,
+    images) with the parameters as a runtime jit argument — see
+    :func:`_embed_names`.
     """
     flags = dict(
         use_uniform=False, use_inverse=False, temperature=0.1,
@@ -149,8 +182,12 @@ def msls_val(
     n_values = list(n_values)
     nmax = max(n_values)
 
-    qFeat, qDense = _embed_names(eval_set, list(eval_set.qImages), extract_fn, batch)
-    dbFeat, dbDense = _embed_names(eval_set, list(eval_set.dbImages), extract_fn, batch)
+    qFeat, qDense = _embed_names(
+        eval_set, list(eval_set.qImages), extract_fn, batch, variables=variables
+    )
+    dbFeat, dbDense = _embed_names(
+        eval_set, list(eval_set.dbImages), extract_fn, batch, variables=variables
+    )
     if qDense is None or dbDense is None:
         trunc_nums = [0]
         K = 0

@@ -76,6 +76,13 @@ def _rerank_tile(
         # as the cls token slot the reference indexes; when the global
         # embedding lives in a different (head-projected) dim than the bank
         # (e.g. raw conv feature banks), the patch mean stands in for it.
+        nhead = flags.get("mh_heads", 12)
+        if anchor.shape[0] % nhead:
+            raise ValueError(
+                f"mhvit: mh_heads={nhead} must divide the feature channel "
+                f"dim C={anchor.shape[0]} (per-head OT splits C into heads; "
+                "set --mh_heads to a divisor, e.g. 8 for C=2048 banks)"
+            )
         ac = (
             anchor_center if anchor_center.shape[-1] == anchor.shape[0]
             else jnp.mean(anchor, axis=-1)
@@ -89,7 +96,7 @@ def _rerank_tile(
         sim, _ = calc_similarity_mhvit(
             a_feat, f_feat, stage=1,
             use_uniform=flags.get("use_uniform", False),
-            nhead=flags.get("mh_heads", 12),
+            nhead=nhead,
         )
     elif method == "dist":
         # OT-weighted pairwise L2 (reference diml.py:149-203, dormant —

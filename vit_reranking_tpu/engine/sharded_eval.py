@@ -16,8 +16,10 @@ The rerank stage dispatches to the fused Pallas kernel per device shard
 non-TPU backends so the CPU-mesh tests exercise the same program), matching
 the single-chip engine's own dispatch (engine/rerank_eval.py) — on real
 multi-chip hardware the distributed eval keeps the ~14x the fused kernel
-wins over the pure-XLA path.  The XLA path remains as the fallback for
-configurations the kernel does not cover (partial OT with K > 128 lanes).
+wins over the pure-XLA path.  Partial OT past 128 pair lanes stays fused via
+the multi-step group packing (chunk-mean exit; a warning notes the
+granularity difference), same as the single-chip engine; pass
+``use_fused=False`` for the bit-faithful XLA path.
 Results are identical to the single-device ``rerank_evaluate`` — pinned by
 tests/test_sharded_rerank.py on the 8-device CPU mesh through both paths.
 
@@ -92,8 +94,8 @@ def sharded_rerank_evaluate(
         top_vals = vals[:, :K]
 
         # Same dispatch predicate as the single-chip engine
-        # (engine/rerank_eval.py): fused kernel for full OT at any K, and
-        # for partial OT whenever K fits the group-exit pair lanes.
+        # (engine/rerank_eval.py): fused kernel whenever use_ot, incl.
+        # partial OT past 128 lanes (multi-step group packing, warned).
         from ..ops.rerank_pallas import PAIR_LANES, _featvit_tile, _rollout_tile
 
         ot_part = float(flags.get("ot_part", 1.0))
@@ -144,7 +146,10 @@ def sharded_rerank_evaluate(
             # mirrors fused_*_rerank_scores (ops/rerank_pallas.py) with the
             # tile loop per shard inside shard_map.
             n_local = (N + qpad) // ndev
-            qt = min(256, n_local)
+            # tile == PAIR_LANES so each shard takes the einsum-direct
+            # packed fast path of fused_rerank_tile (queries on lanes, no
+            # moveaxis transpose) exactly like the single-chip engine
+            qt = min(PAIR_LANES, n_local)
             ntl = -(-n_local // qt)
 
             def local_fn(ids, fb, centers, aux, tops):
