@@ -280,3 +280,30 @@ def test_train_msls_seq2seq_smoke():
             "--save_path", tmp, "--evalevery", "1", "--group", "test", "--bs", "4",
         ])
         assert 0.0 <= r5 <= 1.0
+
+
+def test_msls_val_variables_contract(msls):
+    """The runtime-parameters contract: extract_fn(variables, images) with
+    ``variables=`` must give the same recalls as the closure contract, and
+    the chunk program must be shared across different parameter values
+    (no retrace per epoch — the fix for the per-eval recompile)."""
+    from vit_reranking_tpu.engine.msls_val import _make_pool_extract
+
+    emb = oracle_embed(msls)
+
+    def extract_v(variables, imgs):
+        return emb(imgs) * variables["scale"], None
+
+    def extract_closure(imgs):
+        return emb(imgs), None
+
+    ones = {"scale": jnp.float32(1.0)}
+    r_vars = msls_val(msls, extract_v, trunc_nums=(0,), batch=8, variables=ones)
+    r_clos = msls_val(msls, extract_closure, trunc_nums=(0,), batch=8)
+    for k, v in r_clos.items():
+        assert abs(r_vars[k] - v) < 1e-6, (k, r_vars[k], v)
+
+    # same compiled program object for any parameter value
+    run_a = _make_pool_extract(extract_v, 8, True)
+    run_b = _make_pool_extract(extract_v, 8, True)
+    assert run_a is run_b
