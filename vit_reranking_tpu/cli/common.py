@@ -51,8 +51,16 @@ def build_labels(opt: Config, params, loss_params):
     return {"model": model_labels, "criterion": crit_labels}
 
 
-def build_training(opt: Config, steps_per_epoch: int, sample_images: np.ndarray):
-    """Assemble (model, criterion, state, step_fn, mesh)."""
+def build_training(
+    opt: Config, steps_per_epoch: int, sample_images: np.ndarray,
+    augment_fn=None, cached: bool = False, mesh=None,
+):
+    """Assemble (model, criterion, state, step_fn, mesh).
+
+    ``augment_fn``/``cached`` thread the device-resident image-cache input
+    pipeline into the step (engine/train.py::make_train_step).  ``mesh``
+    injects a pre-built device mesh (setup_device_cache needs it before the
+    step is assembled); default builds one per ``--device_batch``."""
     model = archs.select(opt.arch, opt)
     miner = (
         miners.select(opt.batch_mining, opt)
@@ -94,13 +102,80 @@ def build_training(opt: Config, steps_per_epoch: int, sample_images: np.ndarray)
         step=jnp.zeros((), jnp.int32),
     )
 
-    mesh = create_mesh(mesh_shape=opt.mesh_shape) if opt.device_batch else None
+    if mesh is None:
+        mesh = create_mesh(mesh_shape=opt.mesh_shape) if opt.device_batch else None
     pass_cls = opt.loss in ("margin_diml", "multisimilarity_diml") and opt.use_cls_token
     step_fn = make_train_step(
         model.apply, criterion, tx, mesh=mesh, pass_class_token=pass_cls,
-        donate=True,
+        donate=True, augment_fn=augment_fn, cached=cached,
     )
     return model, criterion, state, step_fn, mesh
+
+
+def setup_device_cache(opt: Config, train_loader, images0, mesh, tag: str):
+    """Build the opt-in device-resident image cache (data/device_cache.py).
+
+    Returns (cache, cache_images): ``cache`` is None unless
+    ``--cache_device``; ``cache_images`` is the HBM-resident pool, replicated
+    across the mesh when one is active (each device gathers its own data
+    shard's raw batch in-program)."""
+    if not opt.cache_device:
+        return None, None
+    from ..data.device_cache import DeviceImageCache
+
+    ds = train_loader.dataset
+    tsize = getattr(getattr(ds, "transform", None), "size", None)
+    cache = DeviceImageCache.from_dataset(ds, out_size=int(tsize or images0.shape[1]))
+    print(
+        f"[{tag}] device image cache: {tuple(cache.images.shape)} "
+        f"{cache.images.dtype} ({cache.nbytes / 1e9:.2f} GB resident)"
+    )
+    cache_images = cache.images
+    if mesh is not None:
+        cache_images = jax.device_put(
+            cache_images,
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+        )
+    return cache, cache_images
+
+
+def epoch_batches(train_loader, cache):
+    """Per-batch (labels, images, indices) stream for the epoch loop.
+
+    With a device cache only (labels, indices) are materialized on the host
+    — images is None and the jitted step gathers the raw batch from HBM."""
+    if cache is None:
+        yield from train_loader
+        return
+    image_list = train_loader.dataset.image_list
+    for bidx in train_loader.iter_index_batches():
+        lab = np.asarray([image_list[i][1] for i in bidx], np.int32)
+        yield lab, None, np.asarray(bidx, np.int32)
+
+
+def run_train_step(step_fn, state, mesh, cache_images, lab, images, idx, sub):
+    """Dispatch one train step across the (cached x mesh) pipeline variants.
+
+    Host->device placement per variant: the cached paths ship only the
+    int32 index/label vectors; the mesh paths shard the batch over the data
+    axis and replicate the PRNG key."""
+    from ..parallel.mesh import shard_batch
+
+    if cache_images is not None:
+        if mesh is not None:
+            idx_d, labels_d = shard_batch(mesh, (np.asarray(idx), np.asarray(lab)))
+            sub_d = jax.device_put(
+                sub, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+            )
+            return step_fn(state, idx_d, labels_d, sub_d, cache_images)
+        return step_fn(state, jnp.asarray(idx), jnp.asarray(lab), sub, cache_images)
+    if mesh is not None:
+        images_d, labels_d = shard_batch(mesh, (np.asarray(images), np.asarray(lab)))
+        sub_d = jax.device_put(
+            sub, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        )
+        return step_fn(state, images_d, labels_d, sub_d)
+    return step_fn(state, jnp.asarray(images), jnp.asarray(lab), sub)
 
 
 def load_pretrained_into(opt: Config, variables):

@@ -26,8 +26,14 @@ from ..engine.extract import extract_features
 from ..engine.metrics import metrics_from_scores, summarize
 from ..engine.train import TrainState
 from ..ops.topk import similarity_matrix
-from ..parallel.mesh import shard_batch
-from .common import build_training, seed_everything
+from ..parallel.mesh import create_mesh
+from .common import (
+    build_training,
+    epoch_batches,
+    run_train_step,
+    seed_everything,
+    setup_device_cache,
+)
 
 
 def evaluate_plain(model, variables, loader, pad_batch=None):
@@ -56,8 +62,14 @@ def main(argv=None):
     steps_per_epoch = len(train_loader)
 
     _, images0, _ = next(iter(loaders["testing"]))
+    mesh = create_mesh(mesh_shape=opt.mesh_shape) if opt.device_batch else None
+    cache, cache_images = setup_device_cache(
+        opt, train_loader, images0, mesh, "train_baseline"
+    )
     model, criterion, state, step_fn, mesh = build_training(
-        opt, steps_per_epoch, images0
+        opt, steps_per_epoch, images0,
+        augment_fn=cache.augment if cache is not None else None,
+        cached=cache is not None, mesh=mesh,
     )
     logger = RunLogger(opt)
     print(f"[train_baseline] run dir: {logger.run_dir}")
@@ -72,17 +84,11 @@ def main(argv=None):
     for epoch in range(opt.start_epoch, opt.n_epochs):
         t0 = time.time()
         epoch_losses = []
-        for lab, images, idx in train_loader:
+        for lab, images, idx in epoch_batches(train_loader, cache):
             key, sub = jax.random.split(key)
-            batch = (jnp.asarray(images), jnp.asarray(lab))
-            if mesh is not None:
-                images_d, labels_d = shard_batch(mesh, (np.asarray(images), np.asarray(lab)))
-                sub_d = jax.device_put(
-                    sub, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-                )
-                state, m = step_fn(state, images_d, labels_d, sub_d)
-            else:
-                state, m = step_fn(state, batch[0], batch[1], sub)
+            state, m = run_train_step(
+                step_fn, state, mesh, cache_images, lab, images, idx, sub
+            )
             # keep the device scalar — float() here would force a host sync
             # every step and serialize the pipeline (reference logs grads per
             # step too, train_baseline.py:217-220, and pays a full GPU->CPU

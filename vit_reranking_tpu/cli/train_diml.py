@@ -20,8 +20,14 @@ from ..core.logger import RunLogger
 from ..data.loader import build_dataset
 from ..engine.extract import extract_features
 from ..engine.rerank_eval import rerank_evaluate
-from ..parallel.mesh import shard_batch
-from .common import build_training, seed_everything
+from ..parallel.mesh import create_mesh
+from .common import (
+    build_training,
+    epoch_batches,
+    run_train_step,
+    seed_everything,
+    setup_device_cache,
+)
 
 
 def evaluate_rerank(opt, model, variables, loader, trunc=100):
@@ -67,7 +73,15 @@ def main(argv=None):
     steps_per_epoch = len(train_loader)
     _, images0, _ = next(iter(loaders["testing"]))
 
-    model, criterion, state, step_fn, mesh = build_training(opt, steps_per_epoch, images0)
+    mesh = create_mesh(mesh_shape=opt.mesh_shape) if opt.device_batch else None
+    cache, cache_images = setup_device_cache(
+        opt, train_loader, images0, mesh, "train_diml"
+    )
+    model, criterion, state, step_fn, mesh = build_training(
+        opt, steps_per_epoch, images0,
+        augment_fn=cache.augment if cache is not None else None,
+        cached=cache is not None, mesh=mesh,
+    )
     logger = RunLogger(opt)
     print(f"[train_diml] run dir: {logger.run_dir}")
 
@@ -91,16 +105,11 @@ def main(argv=None):
             else:
                 sampler.full_storage_update(feats["center"])
             sampler.precompute_indices()
-        for lab, images, idx in train_loader:
+        for lab, images, idx in epoch_batches(train_loader, cache):
             key, sub = jax.random.split(key)
-            if mesh is not None:
-                images_d, labels_d = shard_batch(mesh, (np.asarray(images), np.asarray(lab)))
-                sub_d = jax.device_put(
-                    sub, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-                )
-                state, m = step_fn(state, images_d, labels_d, sub_d)
-            else:
-                state, m = step_fn(state, jnp.asarray(images), jnp.asarray(lab), sub)
+            state, m = run_train_step(
+                step_fn, state, mesh, cache_images, lab, images, idx, sub
+            )
             epoch_losses.append(m["loss"])  # device scalar; drained per epoch
         epoch_losses = [float(x) for x in epoch_losses]
         logger.log("Train", {"loss": float(np.mean(epoch_losses))}, epoch)

@@ -73,7 +73,7 @@ class XBM:
 def build_msls(opt: Config, mode: str):
     if opt.dataset == "synthetic":
         return SyntheticMSLS(
-            n_queries=48, n_db=96, nNeg=opt.nNeg, image_size=64,
+            n_queries=48, n_db=96, nNeg=opt.nNeg, image_size=opt.msls_image_size,
             cached_queries=16, cached_negatives=48, margin=opt.margin,
             seed=opt.seed, mode=mode,
             task=opt.msls_task, seq_length=opt.msls_seq_length,
@@ -150,7 +150,10 @@ def main(argv=None):
     val_set = build_msls(opt, "val" if opt.dataset != "synthetic" else "train")
 
     model = archs.select(opt.arch, opt)
-    size = 64 if opt.dataset == "synthetic" else (opt.imageresizeh, opt.imageresizew)
+    size = (
+        opt.msls_image_size if opt.dataset == "synthetic"
+        else (opt.imageresizeh, opt.imageresizew)
+    )
     h, w = (size, size) if isinstance(size, int) else size
     sample = jnp.zeros((2, h, w, 3), jnp.float32)
     variables = model.init({"params": jax.random.PRNGKey(opt.seed)}, sample, train=False)
@@ -188,8 +191,7 @@ def main(argv=None):
 
     xbm = XBM(opt.xbm_size, opt.embed_dim) if opt.enable_xbm else None
 
-    @jax.jit
-    def train_step(params, batch_stats, opt_state, q, p, negs, t_embed,
+    def _step_core(params, batch_stats, opt_state, q, p, negs, t_embed,
                    xbm_feats, xbm_pos, xbm_neg, xbm_on):
         def loss_fn(params):
             # sequence tasks carry a frame axis: q (B, Lq, H, W, 3),
@@ -239,6 +241,41 @@ def main(argv=None):
         params = optax.apply_updates(params, updates)
         return params, new_stats["batch_stats"], opt_state, loss, emb
 
+    train_step = jax.jit(_step_core)
+
+    # device-resident subcache (--cache_device, data/device_cache.py): the
+    # step gathers (q, p, negs) rows from the HBM pools by index and — when
+    # distilling — embeds the SAME gathered frames through the teacher
+    # in-program (the teacher params ride in as an argument: axon
+    # remote-compile rejects large closure constants)
+    cache_norm = train_set.transform is None
+
+    def _pool_prep(x):
+        x = x.astype(jnp.float32)
+        if cache_norm:
+            return x
+        from ..data.device_cache import _MEAN, _STD
+
+        return (x / 255.0 - _MEAN) / _STD
+
+    @jax.jit
+    def train_step_cached(params, batch_stats, opt_state, qrows, prows,
+                          negrows, qpool, dbpool, t_vars,
+                          xbm_feats, xbm_pos, xbm_neg, xbm_on):
+        q = _pool_prep(qpool[qrows])
+        p = _pool_prep(dbpool[prows])
+        negs = _pool_prep(dbpool[negrows])
+        t_embed = None
+        if teacher is not None:
+            imgs = jnp.concatenate(
+                [_flatten_frames(q), _flatten_frames(p), _flatten_frames(negs)], 0
+            )
+            t_embed = jax.lax.stop_gradient(
+                teacher.apply(t_vars, imgs, train=False)[0]
+            )
+        return _step_core(params, batch_stats, opt_state, q, p, negs, t_embed,
+                          xbm_feats, xbm_pos, xbm_neg, xbm_on)
+
     best_r5 = -1.0
     it_count = 0
     prev_drift_feat = None
@@ -256,10 +293,30 @@ def main(argv=None):
                 "params": variables["params"],
                 "batch_stats": variables.get("batch_stats", {}),
             }
-            embed_fn = lambda imgs: np.asarray(
-                _mining_embed(model)(mine_vars, jnp.asarray(imgs))
-            )
-            train_set.update_subcache(embed_fn, opt.embed_dim)
+            pool = None
+            if opt.cache_device:
+                from ..data.device_cache import MSLSSubcachePool
+
+                qidxs, pidxs, nidxs = train_set._select_pools()
+                pool = MSLSSubcachePool.build(
+                    train_set, qidxs, pidxs, nidxs,
+                    pad_to=16 if opt.dataset == "synthetic" else 256,
+                )
+                if sub == 0 and epoch == opt.start_epoch:
+                    print(
+                        f"[train_msls] device subcache pools: "
+                        f"q{tuple(pool.qpool.shape)} db{tuple(pool.dbpool.shape)} "
+                        f"{pool.dbpool.dtype} ({pool.nbytes / 1e9:.2f} GB resident)"
+                    )
+                qv, pv, nv = pool.embed_split(
+                    model, mine_vars, batch=opt.cachebatchsize
+                )
+                train_set._mine_from_vecs(qidxs, pidxs, nidxs, qv, pv, nv)
+            else:
+                embed_fn = lambda imgs: np.asarray(
+                    _mining_embed(model)(mine_vars, jnp.asarray(imgs))
+                )
+                train_set.update_subcache(embed_fn, opt.embed_dim)
             if getattr(opt, "track_drift", False):
                 # per-subcache feature-drift MSE vs the previous subcache's
                 # val-query embeddings (reference train_epoch_KD_xbm.py:276-303:
@@ -284,10 +341,18 @@ def main(argv=None):
             trips = list(range(len(train_set)))
             np.random.shuffle(trips)
             for step_i, s in enumerate(range(0, len(trips) - B + 1, B)):
-                items = [train_set[i] for i in trips[s : s + B]]
-                q = jnp.asarray(np.stack([it[0] for it in items]))
-                p = jnp.asarray(np.stack([it[1] for it in items]))
-                negs = jnp.asarray(np.stack([it[2] for it in items]))
+                batch_ids = trips[s : s + B]
+                if pool is not None:
+                    # device-cache path: only int32 row indices leave the host
+                    metas = [train_set.triplets[i][0] for i in batch_ids]
+                    qrows, prows, negrows = pool.rows(train_set.triplets, batch_ids)
+                    items = q = p = negs = None
+                else:
+                    items = [train_set[i] for i in batch_ids]
+                    metas = [it[3] for it in items]
+                    q = jnp.asarray(np.stack([it[0] for it in items]))
+                    p = jnp.asarray(np.stack([it[1] for it in items]))
+                    negs = jnp.asarray(np.stack([it[2] for it in items]))
                 if sub == 0 and step_i < 3:
                     # input triptych for the first steps of every epoch
                     # (reference train_epoch.py:106-123); sequences show
@@ -295,22 +360,27 @@ def main(argv=None):
                     from ..utils.visual import visual_msls_triptych
 
                     center = lambda a: a[a.shape[0] // 2] if a.ndim == 4 else a
+                    if pool is not None:
+                        qimg = pool.host_example(pool.q_row[int(metas[0][0])])
+                        pimg = pool.host_example(
+                            pool.db_row[int(metas[0][1])], db=True
+                        )
+                        nimg = pool.host_example(
+                            pool.db_row[int(metas[0][2])], db=True
+                        )
+                        qimg, pimg, nimg = center(qimg), center(pimg), center(nimg)
+                    else:
+                        qimg, pimg, nimg = (
+                            center(items[0][0]), center(items[0][1]),
+                            center(items[0][2][0]),
+                        )
                     visual_msls_triptych(
-                        center(items[0][0]), center(items[0][1]),
-                        center(items[0][2][0]),
+                        qimg, pimg, nimg,
                         save_path=f"{logger.run_dir}/visual/{epoch}_{step_i}.png",
-                    )
-                t_embed = None
-                if teacher is not None:
-                    imgs = jnp.concatenate(
-                        [_flatten_frames(q), _flatten_frames(p), _flatten_frames(negs)], 0
-                    )
-                    t_embed = jax.lax.stop_gradient(
-                        teacher.apply(teacher_vars, imgs, train=False)[0]
                     )
                 xbm_feats = xbm_pos = xbm_neg = None
                 xbm_on = jnp.float32(0.0)
-                batch_qidx = [it[3][0] for it in items]
+                batch_qidx = [m[0] for m in metas]
                 if xbm is not None:
                     qpos = [np.where(train_set.qIdx == qi)[0][0] for qi in batch_qidx]
                     pos_sets = [np.asarray(train_set.pIdx[qp]) for qp in qpos]
@@ -319,21 +389,37 @@ def main(argv=None):
                     xbm_feats = jnp.asarray(xbm.feats)
                     xbm_pos, xbm_neg = jnp.asarray(pm), jnp.asarray(nm)
                     xbm_on = jnp.float32(it_count >= opt.xbm_start_iteration)
-                params, bstats, opt_state, loss, emb = train_step(
-                    variables["params"], variables.get("batch_stats", {}),
-                    opt_state, q, p, negs, t_embed,
-                    xbm_feats, xbm_pos, xbm_neg, xbm_on,
-                )
+                if pool is not None:
+                    params, bstats, opt_state, loss, emb = train_step_cached(
+                        variables["params"], variables.get("batch_stats", {}),
+                        opt_state, jnp.asarray(qrows), jnp.asarray(prows),
+                        jnp.asarray(negrows), pool.qpool, pool.dbpool,
+                        teacher_vars, xbm_feats, xbm_pos, xbm_neg, xbm_on,
+                    )
+                else:
+                    t_embed = None
+                    if teacher is not None:
+                        imgs = jnp.concatenate(
+                            [_flatten_frames(q), _flatten_frames(p), _flatten_frames(negs)], 0
+                        )
+                        t_embed = jax.lax.stop_gradient(
+                            teacher.apply(teacher_vars, imgs, train=False)[0]
+                        )
+                    params, bstats, opt_state, loss, emb = train_step(
+                        variables["params"], variables.get("batch_stats", {}),
+                        opt_state, q, p, negs, t_embed,
+                        xbm_feats, xbm_pos, xbm_neg, xbm_on,
+                    )
                 variables = {"params": params, "batch_stats": bstats}
                 epoch_losses.append(loss)  # device scalar; drained per epoch
                 it_count += 1
                 if xbm is not None:
                     # enqueue the db-side embeddings (positives + negatives)
                     emb_np = np.asarray(emb)
-                    nq = len(items)
+                    nq = len(metas)
                     db_idx = np.concatenate(
-                        [[it[3][1] for it in items]]
-                        + [[i for it in items for i in it[3][2:]]]
+                        [[m[1] for m in metas]]
+                        + [[i for m in metas for i in m[2:]]]
                     ).astype(np.int64)
                     xbm.enqueue(emb_np[nq:], db_idx)
         epoch_losses = [float(x) for x in epoch_losses]

@@ -121,6 +121,9 @@ class Config:
     msls_task: str = "im2im"
     msls_seq_length: int = 1
     msls_subtask: str = "all"
+    # SyntheticMSLS render size (tests/smoke default 64; benchmarks raise it
+    # to make the input-pipeline cost realistic)
+    msls_image_size: int = 64
 
     # ---- NetVLAD (parameters.py:123-135)
     mini_data: bool = False
@@ -242,6 +245,12 @@ class Config:
     # stage-0 retrieval via TPU approx_max_k per gallery block (~2.4x at SOP
     # scale, empirical recall 1.0 at target 0.99); default exact = faiss parity
     approx_topk: bool = False
+    # device-resident training-image cache + on-device augmentation
+    # (data/device_cache.py): the raw images load into HBM once and the
+    # RandomResizedCrop/flip/normalize run inside the jitted step — an epoch
+    # moves no image bytes over the host link.  Opt-in (CUB-scale fits
+    # trivially; SOP at 256px uint8 is ~11.6 GB of a 16 GB chip).
+    cache_device: bool = False
     # per-subcache val-query feature-drift MSE tracking (MSLS; reference
     # train_epoch_KD_xbm.py:276-303 — embed, save feat_<i>.npz, log MSE)
     track_drift: bool = False

@@ -68,6 +68,12 @@ class DataLoader:
             if bi % self.n_hosts == self.host_id:
                 yield list(chunk)
 
+    def iter_index_batches(self) -> Iterator[List[int]]:
+        """Index-batch stream without image loading — the device-cache input
+        pipeline (data/device_cache.py) consumes only (indices, labels) per
+        step; images live in HBM."""
+        return self._index_batches()
+
     def __len__(self):
         if self.batch_sampler is not None:
             total = len(self.batch_sampler)

@@ -279,6 +279,18 @@ class MSLS:
             self.current_subset += 1
             return
 
+        qidxs, pidxs, nidxs = self._select_pools()
+
+        qvecs = self._embed_paths(self.qImages[self.qIdx[qidxs]], embed_fn)
+        pvecs = self._embed_paths(self.dbImages[pidxs], embed_fn)
+        nvecs = self._embed_paths(self.dbImages[nidxs], embed_fn)
+        self._mine_from_vecs(qidxs, pidxs, nidxs, qvecs, pvecs, nvecs)
+
+    def _select_pools(self):
+        """Current subcache's (query idxs, positive db ids, negative db ids)
+        — the msls.py:416-447 pool selection, split out so the device-cache
+        path (data/device_cache.py::MSLSSubcachePool) can embed the pools
+        in one compiled program instead of a host batch loop."""
         if self.current_subset >= len(self.subcache_indices):
             self.current_subset = 0
         qidxs = np.asarray(self.subcache_indices[self.current_subset])
@@ -289,11 +301,12 @@ class MSLS:
         )
         nonneg = np.unique([i for idx in self.nonNegIdx[qidxs] for i in idx])
         nidxs = nidxs[np.isin(nidxs, nonneg, invert=True)]
+        return qidxs, pidxs, nidxs
 
-        qvecs = self._embed_paths(self.qImages[self.qIdx[qidxs]], embed_fn)
-        pvecs = self._embed_paths(self.dbImages[pidxs], embed_fn)
-        nvecs = self._embed_paths(self.dbImages[nidxs], embed_fn)
-
+    def _mine_from_vecs(self, qidxs, pidxs, nidxs, qvecs, pvecs, nvecs):
+        """Hardest-negative triplet selection from the pools' descriptors
+        (msls.py:489-558 semantics — see update_subcache)."""
+        self.triplets = []
         pScores = qvecs @ pvecs.T
         pRanks = np.argsort(-pScores, axis=1)
         nScores = qvecs @ nvecs.T

@@ -120,4 +120,5 @@ def input_transform(resize: Tuple[int, int] = (480, 640)):
         img = img.convert("RGB").resize((resize[1], resize[0]), Image.BILINEAR)
         return normalize(np.asarray(img))
 
+    fn.resize = resize  # store geometry for the device-cache uint8 pools
     return fn

@@ -99,15 +99,29 @@ def make_train_step(
     pass_class_token: bool = False,
     donate: bool = True,
     state_shardings=None,
+    augment_fn: Optional[Callable] = None,
+    cached: bool = False,
 ):
     """Build the jitted train step.
 
     ``loss_input`` selects what feeds the criterion: 'embed' (global embedding,
     train_baseline.py:206-210) or 'per_feat' (per-patch map, the DIML losses,
     train_diml.py:249-258).
+
+    ``augment_fn(key, raw) -> images`` runs train-time augmentation inside
+    the compiled step (data/device_cache.py).  With ``cached`` the step
+    signature becomes ``(state, idxs, labels, key, cache)``: the raw batch is
+    gathered from the device-resident image cache in-program, so an epoch
+    moves no image bytes over the host link (the cache rides along as a jit
+    argument — never a closure: the axon remote-compile rejects large
+    closure constants).
     """
 
     def step_fn(state: TrainState, images, labels, key):
+        if augment_fn is not None:
+            key, k_aug = jax.random.split(key)
+            images = augment_fn(k_aug, images)
+
         def loss_fn(params, loss_params):
             out, new_stats = model_apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -151,14 +165,26 @@ def make_train_step(
         metrics = {"loss": loss, "grad_l2": gnorm, "grad_max": gmax}
         return new_state, metrics
 
+    if cached:
+        core = step_fn
+
+        def step_fn(state, idxs, labels, key, cache):
+            return core(state, cache[idxs], labels, key)
+
     if mesh is not None:
         state_sh = state_shardings if state_shardings is not None else replicated(mesh)
         img_sh = batch_sharding(mesh, 4)
         lab_sh = batch_sharding(mesh, 1)
         rep = replicated(mesh)
+        if cached:
+            # idxs shard over the data axis; the image cache is replicated,
+            # each device gathers its own shard's raw batch in-program
+            in_sh = (state_sh, lab_sh, lab_sh, rep, rep)
+        else:
+            in_sh = (state_sh, img_sh, lab_sh, rep)
         step_fn = jax.jit(
             step_fn,
-            in_shardings=(state_sh, img_sh, lab_sh, rep),
+            in_shardings=in_sh,
             out_shardings=(state_sh, rep),
             donate_argnums=(0,) if donate else (),
         )
