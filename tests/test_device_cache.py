@@ -154,6 +154,88 @@ def test_msls_pool_rows_and_prep():
     assert negrows.shape == (1, 2)
 
 
+def test_eval_cache_extraction_parity(tmp_path):
+    """DeviceEvalCache + extract_features_device(uint8_input) reproduces the
+    host-loader extraction exactly: the uint8 store is the same post-crop
+    pixels the EvalTransform normalizes, so centers match to float tolerance."""
+    from PIL import Image
+
+    from vit_reranking_tpu.data.datasets import ImageDataset
+    from vit_reranking_tpu.data.device_cache import DeviceEvalCache
+    from vit_reranking_tpu.data.loader import DataLoader
+    from vit_reranking_tpu.data.transforms import EvalTransform
+    from vit_reranking_tpu.engine.extract import (
+        extract_features,
+        extract_features_device,
+    )
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(6):
+        p = tmp_path / f"e{i}.png"
+        Image.fromarray(
+            rng.integers(0, 256, (40, 52, 3), dtype=np.uint8)
+        ).save(p)
+        paths.append((str(p), i % 3))
+    ds = ImageDataset(paths, transform=EvalTransform(size=32))
+    loader = DataLoader(ds, batch_size=4, shuffle=False)
+
+    class _Tok:
+        """Tiny model with the extract contract: returns
+        (out, (enc_out, token_map), aux)."""
+
+        def apply(self, variables, imgs, train=False, ret_attn=False):
+            B = imgs.shape[0]
+            g = imgs.reshape(B, 4, 8, 4, 8, 3).mean(axis=(2, 4))  # (B,4,4,3)
+            tokens = g.reshape(B, 16, 3) @ variables["params"]["w"]
+            return tokens.mean(1), (tokens.mean(1), tokens), {"head_tokens": tokens}
+
+        def __hash__(self):
+            return hash(type(self))
+
+        def __eq__(self, other):
+            return type(other) is type(self)
+
+    model, variables = _Tok(), _tiny_vars(din=3, dout=8, seed=7)
+    host = extract_features(model, variables, loader, grid_size=2, pad_batch=4)
+    cache = DeviceEvalCache.from_dataset(ds)
+    assert cache.images.dtype == jnp.uint8
+    dev = extract_features_device(
+        model, variables, cache.images, batch_size=4, grid_size=2,
+        uint8_input=True,
+    )
+    np.testing.assert_allclose(np.asarray(dev["center"]), host["center"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dev["bank"]), host["bank"], atol=1e-5)
+    np.testing.assert_array_equal(cache.labels, host["labels"])
+
+
+def test_cached_eval_cli_parity(tmp_path):
+    """test_diml --cache_device reproduces the host-loader eval metrics
+    (same seed/init, synthetic): the cached extraction is a transport
+    change, not a semantic one."""
+    import os
+
+    from vit_reranking_tpu.cli.test_diml import main as eval_main
+
+    args = [
+        "--dataset", "synthetic", "--synthetic_size", "32",
+        "--synthetic_classes", "4", "--synthetic_per_class", "8",
+        "--kernels", "1", "--bs", "8", "--arch", "resnet50_normalize",
+        "--use_uniform", "--use_ot", "--grid_size", "1",
+        "--save_path", str(tmp_path),
+    ]
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        host = eval_main(list(args))
+        dev = eval_main(list(args) + ["--cache_device"])
+    finally:
+        os.chdir(cwd)
+    for k in ("r1", "rp", "mapr"):
+        for t in host[k]:
+            assert abs(host[k][t] - dev[k][t]) < 1e-3, (k, t)
+
+
 def test_cached_msls_training_cli_e2e(tmp_path):
     """--cache_device through train_msls_baseline: pool mining + gathered
     triplet steps end-to-end on the CPU mesh."""
@@ -164,6 +246,23 @@ def test_cached_msls_training_cli_e2e(tmp_path):
         "--embed_dim", "16", "--n_epochs", "1", "--evalevery", "1",
         "--nNeg", "2", "--lr", "0.0001", "--save_path", str(tmp_path),
         "--group", "test_cache", "--bs", "4", "--cache_device",
+    ])
+    assert 0.0 <= r5 <= 1.0
+
+
+def test_cached_msls_distill_xbm_cli_e2e(tmp_path):
+    """--cache_device + --distill embed + --enable_xbm: the teacher embeds
+    the gathered pool frames INSIDE the cached step (teacher params as a jit
+    argument) and the XBM masks ride along unchanged."""
+    from vit_reranking_tpu.cli.train_msls_baseline import main
+
+    r5 = main([
+        "--dataset", "synthetic", "--arch", "resnet50_normalize",
+        "--embed_dim", "16", "--n_epochs", "1", "--evalevery", "1",
+        "--nNeg", "2", "--lr", "0.0001", "--save_path", str(tmp_path),
+        "--group", "test_cache_kd", "--bs", "4", "--cache_device",
+        "--distill", "embed", "--enable_xbm", "--xbm_size", "64",
+        "--xbm_start_iteration", "2",
     ])
     assert 0.0 <= r5 <= 1.0
 

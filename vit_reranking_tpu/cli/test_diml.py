@@ -113,14 +113,31 @@ def run_eval(opt: Config, trunc_nums=(0, 100)):
         print(f"loaded cached features from {cache_file}")
     else:
         with trace(), timer.phase("extract", items=0):
-            feats = extract_features(
-                model, variables, test_loader,
-                grid_size=opt.grid_size,
-                use_rollout=opt.use_rollout,
-                use_qk=opt.use_qk,
-                training_mode=opt.training,
-                pad_batch=opt.bs,
-            )
+            if opt.cache_device:
+                # device-resident pool + one-dispatch extraction (the 224px
+                # image stream is transfer-bound on slow host links;
+                # data/device_cache.py::DeviceEvalCache)
+                from ..data.device_cache import DeviceEvalCache
+                from ..engine.extract import extract_features_device
+
+                ec = DeviceEvalCache.from_dataset(test_loader.dataset)
+                res = extract_features_device(
+                    model, variables, ec.images, batch_size=opt.bs,
+                    grid_size=opt.grid_size, use_rollout=opt.use_rollout,
+                    use_qk=opt.use_qk, training_mode=opt.training,
+                    uint8_input=not ec.normalized,
+                )
+                feats = {k: np.asarray(v) for k, v in res.items()}
+                feats["labels"] = ec.labels
+            else:
+                feats = extract_features(
+                    model, variables, test_loader,
+                    grid_size=opt.grid_size,
+                    use_rollout=opt.use_rollout,
+                    use_qk=opt.use_qk,
+                    training_mode=opt.training,
+                    pad_batch=opt.bs,
+                )
             if opt.use_cam:
                 feats["cam"] = extract_cam_bank(opt, test_loader)
         timer.items["extract"] = len(feats["labels"])

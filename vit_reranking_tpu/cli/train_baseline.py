@@ -36,11 +36,26 @@ from .common import (
 )
 
 
-def evaluate_plain(model, variables, loader, pad_batch=None):
-    """In-train eval (train_baseline.py:247-326): embed, NxN cosine, metrics."""
-    feats = extract_features(model, variables, loader, grid_size=1, pad_batch=pad_batch)
-    centers = jnp.asarray(feats["center"])
-    labels = jnp.asarray(feats["labels"])
+def evaluate_plain(model, variables, loader, pad_batch=None, eval_cache=None):
+    """In-train eval (train_baseline.py:247-326): embed, NxN cosine, metrics.
+
+    With ``eval_cache`` (data/device_cache.py::DeviceEvalCache) the whole
+    extraction runs as one compiled program over the HBM-resident test pool
+    — no host->device image traffic per eval epoch."""
+    if eval_cache is not None:
+        from ..engine.extract import extract_features_device
+
+        res = extract_features_device(
+            model, variables, eval_cache.images,
+            batch_size=pad_batch or 32, grid_size=1,
+            uint8_input=not eval_cache.normalized,
+        )
+        centers = res["center"]
+        labels = jnp.asarray(eval_cache.labels)
+    else:
+        feats = extract_features(model, variables, loader, grid_size=1, pad_batch=pad_batch)
+        centers = jnp.asarray(feats["center"])
+        labels = jnp.asarray(feats["labels"])
     sims = similarity_matrix(centers, centers, mask_self=True)
     return summarize(metrics_from_scores(sims, labels, labels, mask_diagonal=False))
 
@@ -66,6 +81,15 @@ def main(argv=None):
     cache, cache_images = setup_device_cache(
         opt, train_loader, images0, mesh, "train_baseline"
     )
+    eval_cache = None
+    if opt.cache_device:
+        from ..data.device_cache import DeviceEvalCache
+
+        eval_cache = DeviceEvalCache.from_dataset(loaders["testing"].dataset)
+        print(
+            f"[train_baseline] device eval cache: {tuple(eval_cache.images.shape)} "
+            f"{eval_cache.images.dtype} ({eval_cache.nbytes / 1e9:.2f} GB resident)"
+        )
     model, criterion, state, step_fn, mesh = build_training(
         opt, steps_per_epoch, images0,
         augment_fn=cache.augment if cache is not None else None,
@@ -124,9 +148,13 @@ def main(argv=None):
 
         if epoch % opt.evalevery == 0 or epoch == opt.n_epochs - 1:
             variables = {"params": state.params, "batch_stats": state.batch_stats}
-            metrics = evaluate_plain(model, variables, loaders["testing"], pad_batch=opt.bs)
+            te = time.time()
+            metrics = evaluate_plain(
+                model, variables, loaders["testing"], pad_batch=opt.bs,
+                eval_cache=eval_cache,
+            )
             logger.log("Test", metrics, epoch)
-            print(f"  eval: {metrics}")
+            print(f"  eval ({time.time()-te:.1f}s): {metrics}")
             ckpt = {
                 "params": state.params,
                 "batch_stats": state.batch_stats,

@@ -30,11 +30,22 @@ from .common import (
 )
 
 
-def evaluate_rerank(opt, model, variables, loader, trunc=100):
-    feats = extract_features(
-        model, variables, loader, grid_size=opt.grid_size,
-        training_mode=True, pad_batch=opt.bs,
-    )
+def evaluate_rerank(opt, model, variables, loader, trunc=100, eval_cache=None):
+    if eval_cache is not None:
+        # one-dispatch extraction over the HBM-resident test pool
+        from ..engine.extract import extract_features_device
+
+        feats = extract_features_device(
+            model, variables, eval_cache.images,
+            batch_size=opt.bs, grid_size=opt.grid_size, training_mode=True,
+            uint8_input=not eval_cache.normalized,
+        )
+        feats = dict(feats, labels=eval_cache.labels)
+    else:
+        feats = extract_features(
+            model, variables, loader, grid_size=opt.grid_size,
+            training_mode=True, pad_batch=opt.bs,
+        )
     n = len(feats["labels"])
     truncs = (0, trunc) if trunc < n else (0,)
     res = rerank_evaluate(
@@ -77,6 +88,15 @@ def main(argv=None):
     cache, cache_images = setup_device_cache(
         opt, train_loader, images0, mesh, "train_diml"
     )
+    eval_cache = None
+    if opt.cache_device:
+        from ..data.device_cache import DeviceEvalCache
+
+        eval_cache = DeviceEvalCache.from_dataset(loaders["testing"].dataset)
+        print(
+            f"[train_diml] device eval cache: {tuple(eval_cache.images.shape)} "
+            f"{eval_cache.images.dtype} ({eval_cache.nbytes / 1e9:.2f} GB resident)"
+        )
     model, criterion, state, step_fn, mesh = build_training(
         opt, steps_per_epoch, images0,
         augment_fn=cache.augment if cache is not None else None,
@@ -117,9 +137,12 @@ def main(argv=None):
 
         if epoch % opt.evalevery == 0 or epoch == opt.n_epochs - 1:
             variables = {"params": state.params, "batch_stats": state.batch_stats}
-            metrics = evaluate_rerank(opt, model, variables, loaders["testing"])
+            te = time.time()
+            metrics = evaluate_rerank(
+                opt, model, variables, loaders["testing"], eval_cache=eval_cache
+            )
             logger.log("Test", metrics, epoch)
-            print(f"  eval: {metrics}")
+            print(f"  eval ({time.time()-te:.1f}s): {metrics}")
             ckpt = {
                 "params": state.params, "batch_stats": state.batch_stats,
                 "loss_params": state.loss_params, "opt_state": state.opt_state,

@@ -141,6 +141,57 @@ class DeviceImageCache:
         return x
 
 
+class DeviceEvalCache:
+    """Device-resident test/eval pool for the in-train evaluation.
+
+    The eval transform is deterministic (resize-short + center-crop +
+    normalize, data/transforms.py::EvalTransform mirroring the reference's
+    ``augmentation base`` eval pipeline), so the pool loads ONCE: photo
+    datasets store the cropped uint8 pixels (4x smaller than f32; the
+    extraction program normalizes per batch in-VMEM via
+    engine/extract.py::extract_features_device(uint8_input=True)),
+    synthetic datasets store their final float values.  Every eval epoch
+    then runs as one compiled program with zero host->device image traffic
+    — the same epochs that motivated the training-side cache: the in-train
+    eval embeds the whole test set each --evalevery epochs
+    (reference train_baseline.py:247-326)."""
+
+    def __init__(self, images, labels: np.ndarray, normalized: bool):
+        self.images = images
+        self.labels = labels
+        self.normalized = normalized
+
+    @classmethod
+    def from_dataset(cls, dataset):
+        tf = getattr(dataset, "transform", None)
+        if tf is None:
+            stack = np.stack(
+                [dataset.load_image(i) for i in range(len(dataset))]
+            ).astype(np.float32)
+            normalized = True
+        else:
+            from PIL import Image
+
+            from .transforms import _center_crop, _resize_short
+
+            size = tf.size
+            arrs = []
+            for path, _cls in dataset.image_list:
+                img = Image.open(path).convert("RGB")
+                img = _center_crop(
+                    _resize_short(img, int(size * 256 / 224)), size
+                )
+                arrs.append(np.asarray(img, np.uint8))
+            stack = np.stack(arrs)
+            normalized = False
+        labels = np.asarray([c for _, c in dataset.image_list], np.int32)
+        return cls(jax.device_put(stack), labels, normalized)
+
+    @property
+    def nbytes(self) -> int:
+        return self.images.size * self.images.dtype.itemsize
+
+
 # ---------------------------------------------------------------------------
 # MSLS: device-resident subcache pools
 # ---------------------------------------------------------------------------

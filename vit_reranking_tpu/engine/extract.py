@@ -28,11 +28,19 @@ import functools
 
 def _make_embed_body(
     model, grid_size: int = 7, use_rollout: bool = False, training_mode: bool = False,
-    use_qk: bool = False,
+    use_qk: bool = False, uint8_input: bool = False,
 ):
-    """Un-jitted embed body shared by the per-batch and whole-dataset paths."""
+    """Un-jitted embed body shared by the per-batch and whole-dataset paths.
+
+    ``uint8_input`` normalizes raw uint8 pixel batches in-program (the
+    device-resident eval cache stores pools pre-normalization to quarter the
+    HBM footprint, data/device_cache.py::DeviceEvalCache)."""
 
     def embed(variables, images):
+        if uint8_input:
+            from ..data.device_cache import _MEAN, _STD
+
+            images = (images.astype(jnp.float32) / 255.0 - _MEAN) / _STD
         out, (enc_out, no_avg_feat), aux = model.apply(
             variables, images, train=False, ret_attn=use_rollout or use_qk
         )
@@ -81,7 +89,7 @@ def make_embed_fn(
 @functools.lru_cache(maxsize=32)
 def make_extract_all_fn(
     model, batch_size: int, grid_size: int = 7, use_rollout: bool = False,
-    training_mode: bool = False, use_qk: bool = False,
+    training_mode: bool = False, use_qk: bool = False, uint8_input: bool = False,
 ):
     """ONE compiled program that embeds a whole (device-resident) dataset.
 
@@ -92,7 +100,9 @@ def make_extract_all_fn(
     serializes on it (measured: a python loop over jitted per-batch embeds
     runs ~6x slower than this at identical device work).
     """
-    body = _make_embed_body(model, grid_size, use_rollout, training_mode, use_qk)
+    body = _make_embed_body(
+        model, grid_size, use_rollout, training_mode, use_qk, uint8_input
+    )
 
     @jax.jit
     def extract_all(variables, images):  # (nb*B, H, W, C), nb*B static
@@ -179,6 +189,7 @@ def extract_features_device(
     use_rollout: bool = False,
     training_mode: bool = False,
     use_qk: bool = False,
+    uint8_input: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Device-resident Phase A: embed an (N, H, W, C) device array without any
     host round-trip.
@@ -192,7 +203,7 @@ def extract_features_device(
     on device (reference eval_cvt_diml.py:304-305).
     """
     extract_all = make_extract_all_fn(
-        model, batch_size, grid_size, use_rollout, training_mode, use_qk
+        model, batch_size, grid_size, use_rollout, training_mode, use_qk, uint8_input
     )
     N = images.shape[0]
     pad = (-N) % batch_size
