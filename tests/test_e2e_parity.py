@@ -250,8 +250,20 @@ def cvt_feats(setup):
             "rollout",
             dict(use_ot=True, ot_part=0.5),
         ),
+        (  # flagship rollout full OT through the bf16 similarity stream
+            # (stream_dtype fast mode): R@K must stay within the same +-0.2
+            # protocol tolerance vs the reference's own evaluate() that
+            # gates the f32 path — this is what licenses bf16 as the
+            # production rerank mode (BASELINE.json parity clause)
+            dict(use_rollout=True, ot_part=1.0),
+            "rollout",
+            dict(use_ot=True, ot_part=1.0, _stream_dtype="bfloat16"),
+        ),
     ],
-    ids=["featvit-minus", "featvit-inverse", "rollout-partial-0.5"],
+    ids=[
+        "featvit-minus", "featvit-inverse", "rollout-partial-0.5",
+        "rollout-bf16-stream",
+    ],
 )
 def test_eval_variant_parity(setup, cvt_feats, monkeypatch, ref_kw, method, flags):
     """Reference eval_cvt_diml.evaluate vs our pipeline on converted weights
@@ -278,11 +290,14 @@ def test_eval_variant_parity(setup, cvt_feats, monkeypatch, ref_kw, method, flag
             trunc_nums=[0, 16], grid_size=7, use_ot=True, **ref_kw,
         )
 
+    stream_dtype = flags.get("_stream_dtype", "float32")
+    flags = {k: v for k, v in flags.items() if not k.startswith("_")}
     ours = rerank_evaluate(
         jnp.asarray(feats["bank"]), jnp.asarray(feats["center"]),
         jnp.asarray(feats["labels"]),
         rollout=jnp.asarray(feats["rollout"]) if method == "rollout" else None,
         trunc_nums=(0, 16), method=method, flags=flags, query_block=24,
+        stream_dtype=stream_dtype,
     )
 
     for ti, trunc in enumerate((0, 16)):

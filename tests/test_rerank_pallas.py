@@ -442,3 +442,26 @@ def test_einsum_direct_packing_matches_moveaxis_pack():
     np.testing.assert_allclose(
         np.asarray(fast), np.asarray(packed), rtol=1e-6, atol=1e-7
     )
+
+
+@pytest.mark.parametrize("ot_part", [1.0, 0.5], ids=["full", "partial-0.5"])
+def test_bf16_stream_close_to_f32(problem, ot_part):
+    """stream_dtype="bfloat16" (the fast mode: packed S streams through HBM
+    in bf16, Sinkhorn math stays f32) must track the f32 path to bf16
+    rounding of S — measured on the chip: max |dS| ~2e-4 full OT / ~3e-7
+    partial, final-rank top-1 agreement 0.998/1.000 at Q=4096 on worst-case
+    random data (scripts/ablate_rerank_dtype.py); e2e R@K parity vs the
+    reference's own evaluate() is gated in tests/test_e2e_parity.py."""
+    fb, centers, roll, top = problem
+    kw = dict(query_tile=16, ot_part=ot_part, interpret=True)
+    s32 = np.asarray(fused_rollout_rerank_scores(fb, centers, roll, top, **kw))
+    s16 = np.asarray(
+        fused_rollout_rerank_scores(
+            fb, centers, roll, top, stream_dtype="bfloat16", **kw
+        )
+    )
+    # S in [-1, 1] rounds to bf16 (2^-8 ulp); the OT plan renormalizes, so
+    # score error stays near S's own rounding
+    assert np.abs(s32 - s16).max() < 3e-3
+    # the einsum-direct fast path (query_tile == 128 lanes) shares the same
+    # cast logic; geometry fuzz covers it via test_fused_rollout_geometry_fuzz

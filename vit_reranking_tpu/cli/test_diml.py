@@ -187,6 +187,9 @@ def run_eval(opt: Config, trunc_nums=(0, 100)):
             method=method,
             flags=flags,
             approx_topk=getattr(opt, "approx_topk", False),
+            stream_dtype=(
+                "bfloat16" if getattr(opt, "rerank_bf16", False) else "float32"
+            ),
         )
     dt = time.time() - t0
     n_pairs = len(feats["labels"]) * max(trunc_nums)

@@ -245,6 +245,12 @@ class Config:
     # stage-0 retrieval via TPU approx_max_k per gallery block (~2.4x at SOP
     # scale, empirical recall 1.0 at target 0.99); default exact = faiss parity
     approx_topk: bool = False
+    # stream the fused rerank kernel's packed similarity through HBM in bf16
+    # (the kernel is byte-bound on that one-time stream; ~1.4x at bench scale;
+    # Sinkhorn loop math stays f32; reference-evaluate R@K parity within the
+    # +-0.2 protocol tolerance — tests/test_e2e_parity.py).  Default f32 is
+    # the bit-faithful path.
+    rerank_bf16: bool = False
     # device-resident training-image cache + on-device augmentation
     # (data/device_cache.py): the raw images load into HBM once and the
     # RandomResizedCrop/flip/normalize run inside the jitted step — an epoch

@@ -147,6 +147,7 @@ def rerank_evaluate(
     head_k: Optional[int] = None,
     use_fused: Optional[bool] = None,
     approx_topk: bool = False,
+    stream_dtype: str = "float32",
 ) -> Dict[str, Dict[int, float]]:
     """Full evaluation: returns {'r1'|'rp'|'mapr': {trunc: percent}}.
 
@@ -158,6 +159,11 @@ def rerank_evaluate(
       rollout: (N, R) rollout saliency when method == 'rollout'.
       trunc_nums: 0 = global-only; k = OT-rerank top-k then splice
         (reference eval_cvt_diml.py:359-365).
+      stream_dtype: "bfloat16" streams the fused kernel's packed similarity
+        through HBM in bf16 (~1.4x at bench scale; Sinkhorn math stays f32;
+        e2e R@K parity within the +-0.2 protocol tolerance —
+        tests/test_e2e_parity.py::test_flagship_eval_parity_bf16_stream).
+        Ignored on the XLA fallback path.  Default f32 is bit-faithful.
     """
     flags = dict(flags or {})
     N = feature_bank.shape[0]
@@ -241,7 +247,7 @@ def rerank_evaluate(
                     use_exp=flags.get("use_inverse", False),
                     temperature=flags.get("temperature", 1.0),
                     scale=flags.get("qk_scale", 1.0 / 8.0),
-                    interpret=interpret,
+                    interpret=interpret, stream_dtype=stream_dtype,
                 )
             elif method in ("rollout", "cam"):
                 # CAM maps are per-image saliency exactly like rollout
@@ -252,7 +258,7 @@ def rerank_evaluate(
                     query_tile=query_block,
                     use_uniform=flags.get("use_uniform", False),
                     ot_part=ot_part,
-                    interpret=interpret,
+                    interpret=interpret, stream_dtype=stream_dtype,
                 )
             else:
                 ot_sims = fused_featvit_rerank_scores(
@@ -265,7 +271,7 @@ def rerank_evaluate(
                     use_cls_token=flags.get("use_cls_token", False),
                     temperature=flags.get("temperature", 1.0),
                     ot_part=ot_part,
-                    interpret=interpret,
+                    interpret=interpret, stream_dtype=stream_dtype,
                 )
         else:
             rerank_one = functools.partial(_rerank_tile, method=method, flags=flags)

@@ -55,6 +55,7 @@ def sharded_rerank_evaluate(
     flags: Optional[dict] = None,
     head_k: Optional[int] = None,
     use_fused: Optional[bool] = None,
+    stream_dtype: str = "float32",
 ) -> Dict[str, Dict[int, float]]:
     """Mesh-distributed version of ``rerank_evaluate`` (same result contract:
     {'r1'|'rp'|'mapr': {trunc: percent}}).
@@ -62,6 +63,9 @@ def sharded_rerank_evaluate(
     feature_bank (N, C, R) / centers (N, C) / rollout (N, R) may live on any
     devices; they are placed query-sharded (P('data')) for the rerank and fed
     shard-wise to the distributed kNN.
+
+    stream_dtype="bfloat16" streams each shard's packed similarity in bf16
+    (same fast mode as the single-chip engine — see rerank_evaluate).
     """
     flags = dict(flags or {})
     if method not in ("rollout", "featvit"):
@@ -164,6 +168,7 @@ def sharded_rerank_evaluate(
                             ot_part=ot_part,
                             use_uniform=flags.get("use_uniform", False),
                             interpret=interpret, P=PAIR_LANES,
+                            stream_dtype=stream_dtype,
                         )
                     return _featvit_tile(
                         fb, centers, tops, idx,
@@ -176,6 +181,7 @@ def sharded_rerank_evaluate(
                         use_cls_token=flags.get("use_cls_token", False),
                         temperature=flags.get("temperature", 1.0),
                         interpret=interpret, P=PAIR_LANES,
+                        stream_dtype=stream_dtype,
                     )
 
                 out = jax.lax.map(tile, idx_all)  # (ntl, qt, K)

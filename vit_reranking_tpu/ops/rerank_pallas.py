@@ -50,10 +50,13 @@ def _sinkhorn_score_kernel(
     kernel derives from S itself."""
     if has_cost:
         C_ref, out_ref = rest
-        Km = jnp.exp(-(1.0 - C_ref[0]) / ot_temp)
+        Km = jnp.exp(-(1.0 - C_ref[0].astype(jnp.float32)) / ot_temp)
     else:
         (out_ref,) = rest
-    S = S_ref[0]  # (R_s, R_m, P)
+    # the S/C streams may arrive as bf16 (stream_dtype fast mode — halves
+    # the one-time HBM read that bounds this kernel); every loop op and the
+    # final contraction stay f32
+    S = S_ref[0].astype(jnp.float32)  # (R_s, R_m, P)
     u = u_ref[0]  # (R_s, P)
     v = v_ref[0]  # (R_m, P)
     if not has_cost:
@@ -184,14 +187,17 @@ def sinkhorn_scores_packed(
         pl.BlockSpec((1, Rs, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, Rm, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
+    # bf16 S/C streams pass through untouched (the kernel upcasts in VMEM);
+    # anything else is pinned to f32 — the bit-faithful default
+    keep = lambda x: x if x.dtype == jnp.bfloat16 else x.astype(jnp.float32)
     args = [
-        S_packed.astype(jnp.float32),
+        keep(S_packed),
         u_packed.astype(jnp.float32),
         v_packed.astype(jnp.float32),
     ]
     if has_cost:
         in_specs.append(S_spec)
-        args.append(C_packed.astype(jnp.float32))
+        args.append(keep(C_packed))
     out = pl.pallas_call(
         kernel,
         grid=(nsteps,),
@@ -200,7 +206,8 @@ def sinkhorn_scores_packed(
         out_shape=jax.ShapeDtypeStruct((nsteps, 1, P), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=nsteps * P * iters * 4 * Rs * Rm,
-            bytes_accessed=(1 + has_cost) * S_packed.size * 4 + out_shapebytes(nsteps, P),
+            bytes_accessed=(1 + has_cost) * S_packed.size * S_packed.dtype.itemsize
+            + out_shapebytes(nsteps, P),
             transcendentals=nsteps * P * Rs * Rm,
         ),
         interpret=interpret,
@@ -252,14 +259,25 @@ def _pack_groups(x: jnp.ndarray, P: int) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "thresh", "ot_temp", "ot_part", "interpret", "P", "group_exit"),
+    static_argnames=(
+        "iters", "thresh", "ot_temp", "ot_part", "interpret", "P",
+        "group_exit", "stream_dtype",
+    ),
 )
 def fused_rerank_tile(
     anchors, fb_g, u, v, iters=100, thresh=1e-1, ot_temp=0.05, ot_part=1.0,
     interpret=False, P=PAIR_LANES, group_exit=None, cost=None,
+    stream_dtype="float32",
 ):
     """One query tile: anchors (T, C, R), fb_g (T, K, C, R), u/v (T, K, R).
     Returns (T, K) scores.
+
+    stream_dtype="bfloat16" streams the packed similarity S (and ``cost``)
+    through HBM in bf16 — the kernel's bound is that one-time stream, so this
+    halves its bytes; the producer einsum then runs at DEFAULT precision (one
+    bf16 MXU pass instead of HIGHEST's multi-pass refinement) since its output
+    rounds to bf16 anyway.  All Sinkhorn loop math stays f32 in VMEM.  The
+    f32 default remains the bit-faithful path.
 
     group_exit selects the reference's per-query batch-mean Sinkhorn exit
     (one query per grid step, diml.py:50-52); defaults to on for partial OT
@@ -275,6 +293,13 @@ def fused_rerank_tile(
     ``cost`` (T, K, R, R) optionally carries a separate similarity for the OT
     kernel (qk method: the pair's q·k attention map, diml.py:235-258)."""
     T, K, C, R = fb_g.shape
+    s_dt = jnp.dtype(stream_dtype)
+    s_prec = (
+        jax.lax.Precision.DEFAULT if s_dt == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+    if cost is not None:
+        cost = cost.astype(s_dt)
     if group_exit is None:
         group_exit = ot_part <= 0.999
     if not group_exit and cost is None and T == P:
@@ -287,8 +312,7 @@ def fused_rerank_tile(
         # into the dot epilogue (scripts/ablate_rerank_prep.py).
         Sp = jnp.einsum(
             "tcm,tkcs->ksmt", anchors, fb_g,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=s_dt, precision=s_prec,
         )  # (K, R_s, R_m, T)
         up = jnp.transpose(u, (1, 2, 0))  # (K, R, T)
         vp = jnp.transpose(v, (1, 2, 0))
@@ -299,7 +323,7 @@ def fused_rerank_tile(
         return jnp.transpose(scores, (1, 0))
     S = jnp.einsum(
         "tcm,tkcs->tksm", anchors, fb_g,
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=s_dt, precision=s_prec,
     )  # (T, K, R_s, R_m)
     if group_exit and K > P:
         # multi-step group packing: chunk the K candidates into full P-lane
@@ -343,7 +367,7 @@ def fused_rerank_tile(
     jax.jit,
     static_argnames=(
         "iters", "thresh", "ot_temp", "ot_part", "query_tile", "use_uniform",
-        "interpret",
+        "interpret", "stream_dtype",
     ),
 )
 def fused_rollout_rerank_scores(
@@ -358,6 +382,7 @@ def fused_rollout_rerank_scores(
     use_uniform: bool = False,
     ot_part: float = 1.0,
     interpret: bool = False,
+    stream_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Flagship rollout rerank over all queries, tiled to bound the gather.
 
@@ -380,6 +405,7 @@ def fused_rollout_rerank_scores(
             feature_bank, rollout, top_inds, idx,
             iters=iters, thresh=thresh, ot_temp=ot_temp, ot_part=ot_part,
             use_uniform=use_uniform, interpret=interpret, P=P,
+            stream_dtype=stream_dtype,
         )
 
     out = jax.lax.map(tile, idx_all)  # (nt, query_tile, K)
@@ -391,7 +417,7 @@ def fused_rollout_rerank_scores(
     static_argnames=(
         "iters", "thresh", "ot_temp", "ot_part", "query_tile", "use_uniform",
         "use_inverse", "use_minus", "use_soft", "use_cls_token", "temperature",
-        "interpret",
+        "interpret", "stream_dtype",
     ),
 )
 def fused_featvit_rerank_scores(
@@ -410,6 +436,7 @@ def fused_featvit_rerank_scores(
     temperature: float = 1.0,
     ot_part: float = 1.0,
     interpret: bool = False,
+    stream_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Fused rerank with cross-attention marginals (the calc_similarity
     stage-1 path, reference diml.py:77-147).  One compiled program — see
@@ -427,7 +454,7 @@ def fused_featvit_rerank_scores(
             use_uniform=use_uniform, use_inverse=use_inverse,
             use_minus=use_minus, use_soft=use_soft,
             use_cls_token=use_cls_token, temperature=temperature,
-            interpret=interpret, P=P,
+            interpret=interpret, P=P, stream_dtype=stream_dtype,
         )
 
     out = jax.lax.map(tile, idx_all)
@@ -438,7 +465,7 @@ def fused_featvit_rerank_scores(
     jax.jit,
     static_argnames=(
         "iters", "thresh", "query_tile", "use_uniform", "use_exp",
-        "temperature", "scale", "interpret",
+        "temperature", "scale", "interpret", "stream_dtype",
     ),
 )
 def fused_qk_rerank_scores(
@@ -454,6 +481,7 @@ def fused_qk_rerank_scores(
     temperature: float = 1.0,
     scale: float = 1.0 / 8.0,
     interpret: bool = False,
+    stream_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Fused rerank for the q/k-attention method (reference
     calc_similarity_vit/cvt, diml.py:206-320, full OT): the OT kernel comes
@@ -499,6 +527,7 @@ def fused_qk_rerank_scores(
             feature_bank[idx], feature_bank[inds], u, v,
             iters=iters, thresh=thresh, ot_temp=0.05, ot_part=1.0,
             interpret=interpret, P=P, cost=dp[:, :, 1:, 1:],
+            stream_dtype=stream_dtype,
         )
 
     out = jax.lax.map(tile, idx_all)
@@ -510,7 +539,7 @@ def fused_qk_rerank_scores(
     static_argnames=(
         "iters", "thresh", "ot_temp", "ot_part", "query_tile", "use_uniform",
         "use_inverse", "use_minus", "use_soft", "use_cls_token", "temperature",
-        "interpret",
+        "interpret", "stream_dtype",
     ),
 )
 def fused_featvit_rerank_scores_qg(
@@ -531,6 +560,7 @@ def fused_featvit_rerank_scores_qg(
     temperature: float = 1.0,
     ot_part: float = 1.0,
     interpret: bool = False,
+    stream_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Query != gallery variant of :func:`fused_featvit_rerank_scores`
     (MSLS place recognition: distinct query/database sets, reference
@@ -548,7 +578,7 @@ def fused_featvit_rerank_scores_qg(
             use_uniform=use_uniform, use_inverse=use_inverse,
             use_minus=use_minus, use_soft=use_soft,
             use_cls_token=use_cls_token, temperature=temperature,
-            interpret=interpret, P=P,
+            interpret=interpret, P=P, stream_dtype=stream_dtype,
             query_bank=query_bank, query_centers=query_centers,
         )
 
@@ -561,13 +591,14 @@ def fused_featvit_rerank_scores_qg(
     static_argnames=(
         "iters", "thresh", "ot_temp", "ot_part", "use_uniform", "use_inverse",
         "use_minus", "use_soft", "use_cls_token", "temperature", "interpret", "P",
+        "stream_dtype",
     ),
 )
 def _featvit_tile(
     feature_bank, centers, top_inds, idx,
     iters, thresh, ot_temp, ot_part, use_uniform, use_inverse, use_minus,
     use_soft, use_cls_token, temperature, interpret, P,
-    query_bank=None, query_centers=None,
+    query_bank=None, query_centers=None, stream_dtype="float32",
 ):
     from .similarity import cross_attention_marginals, l2_normalize
 
@@ -598,17 +629,21 @@ def _featvit_tile(
     return fused_rerank_tile(
         anchors, fb_g, u, v,
         iters=iters, thresh=thresh, ot_temp=ot_temp, ot_part=ot_part,
-        interpret=interpret, P=P,
+        interpret=interpret, P=P, stream_dtype=stream_dtype,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "thresh", "ot_temp", "ot_part", "use_uniform", "interpret", "P"),
+    static_argnames=(
+        "iters", "thresh", "ot_temp", "ot_part", "use_uniform", "interpret",
+        "P", "stream_dtype",
+    ),
 )
 def _rollout_tile(
     feature_bank, rollout, top_inds, idx,
     iters, thresh, ot_temp, ot_part, use_uniform, interpret, P,
+    stream_dtype="float32",
 ):
     K = top_inds.shape[1]
     R = feature_bank.shape[2]
@@ -621,5 +656,5 @@ def _rollout_tile(
     return fused_rerank_tile(
         feature_bank[idx], fb_g, u, v,
         iters=iters, thresh=thresh, ot_temp=ot_temp, ot_part=ot_part,
-        interpret=interpret, P=P,
+        interpret=interpret, P=P, stream_dtype=stream_dtype,
     )
