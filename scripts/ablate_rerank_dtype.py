@@ -63,11 +63,25 @@ def checksum(fb, c, r, top, ot_part, stream_dtype):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("stream_dtype",))
-def producer_only(fb, top, stream_dtype):
-    """Gather + packed einsum + trivial XLA reduce: the non-kernel cost."""
+@functools.partial(jax.jit, static_argnames=("stream_dtype", "bank_dtype"))
+def producer_only(fb, top, stream_dtype, bank_dtype="float32"):
+    """Gather + packed einsum + trivial XLA reduce: the non-kernel cost.
+
+    bank_dtype="bfloat16" stores the feature bank (the gather SOURCE) in
+    bf16 before the per-tile candidate gather — the gather moves Q*K rows of
+    C*R features (~41 GB/sweep f32 at the bench protocol), the producer's
+    dominant HBM traffic.
+
+    NEGATIVE RESULT (v5e, Q=4096): the bf16-bank gather runs 2.4x SLOWER
+    than gathering f32 rows (104.2 vs 43.6 ms/rep) and drags the full fused
+    path below even the f32 stream (169.6 vs 154.1 ms) — XLA's row gather
+    does not vectorize well at 2-byte element width on this platform, losing
+    far more than the halved bytes save.  The production fast mode therefore
+    keeps the bank f32 and narrows only at the einsum (whose MXU passes
+    round to bf16 anyway) + the packed-S stream."""
     dt = jnp.dtype(stream_dtype)
     prec = jax.lax.Precision.DEFAULT if dt == jnp.bfloat16 else HI
+    fb = fb.astype(jnp.dtype(bank_dtype))
     Qn = fb.shape[0]
     idx_all = jnp.arange(Qn).reshape(-1, 128)
 
@@ -91,6 +105,7 @@ def main():
     experiments = [
         ("producer f32 HIGHEST", lambda: producer_only(fb, top, "float32")),
         ("producer bf16 DEFAULT", lambda: producer_only(fb, top, "bfloat16")),
+        ("producer bf16 + bank", lambda: producer_only(fb, top, "bfloat16", "bfloat16")),
         ("full OT f32 (prod)", lambda: checksum(fb, centers, rollout, top, 1.0, "float32")),
         ("full OT bf16 stream", lambda: checksum(fb, centers, rollout, top, 1.0, "bfloat16")),
         ("partial .5 f32 (prod)", lambda: checksum(fb, centers, rollout, top, 0.5, "float32")),
