@@ -465,3 +465,64 @@ def test_bf16_stream_close_to_f32(problem, ot_part):
     assert np.abs(s32 - s16).max() < 3e-3
     # the einsum-direct fast path (query_tile == 128 lanes) shares the same
     # cast logic; geometry fuzz covers it via test_fused_rollout_geometry_fuzz
+
+
+@pytest.mark.parametrize("ot_part", [1.0, 0.5], ids=["full", "partial-0.5"])
+@pytest.mark.parametrize("with_cost", [False, True], ids=["plain", "cost"])
+def test_sublane_padding_is_bit_neutral(ot_part, with_cost):
+    """pad_sublanes tile-aligns the packed stream by zero-padding the anchor
+    patch axis (R_m 49 -> 56/64) and masking the dead columns in-kernel
+    (m_valid).  Every padded term contributes exact 0.0 to both Sinkhorn
+    reductions; only the SIMD regrouping of the reduction changes (49 vs 56
+    summands), so real lanes must match the unpadded kernel to ~1 ulp —
+    full OT, partial OT (dustbin beyond the pad), and separate-cost."""
+    from vit_reranking_tpu.ops.rerank_pallas import fused_rerank_tile
+
+    rng = np.random.default_rng(3)
+    T, K, C, R = 8, 5, 16, 49
+    an = rng.standard_normal((T, C, R)).astype(np.float32)
+    an /= np.linalg.norm(an, axis=1, keepdims=True)
+    fb = rng.standard_normal((T, K, C, R)).astype(np.float32)
+    fb /= np.linalg.norm(fb, axis=2, keepdims=True)
+    u = np.abs(rng.standard_normal((T, K, R)).astype(np.float32))
+    u /= u.sum(-1, keepdims=True)
+    v = np.abs(rng.standard_normal((T, K, R)).astype(np.float32))
+    v /= v.sum(-1, keepdims=True)
+    cost = None
+    if with_cost:
+        cost = jnp.asarray(
+            np.tanh(rng.standard_normal((T, K, R, R))).astype(np.float32)
+        )
+    an_j, fb_j, u_j, v_j = map(jnp.asarray, (an, fb, u, v))
+
+    kw = dict(iters=50, ot_part=ot_part, interpret=True, P=16, cost=cost)
+    padded = fused_rerank_tile(an_j, fb_j, u_j, v_j, pad_sublanes=True, **kw)
+    plain = fused_rerank_tile(an_j, fb_j, u_j, v_j, pad_sublanes=False, **kw)
+    np.testing.assert_allclose(
+        np.asarray(padded), np.asarray(plain), rtol=2e-6, atol=2e-7
+    )
+    assert np.isfinite(np.asarray(padded)).all()
+
+
+def test_sublane_padding_bf16_stream_matches():
+    """The bf16 stream with padding must match the unpadded bf16 stream to
+    the same ~1-ulp reduction-order tolerance (the einsum rounds
+    identically; pad columns are exact zeros in bf16 as well)."""
+    from vit_reranking_tpu.ops.rerank_pallas import fused_rerank_tile
+
+    rng = np.random.default_rng(5)
+    T, K, C, R = 8, 5, 16, 49
+    an = rng.standard_normal((T, C, R)).astype(np.float32)
+    fb = rng.standard_normal((T, K, C, R)).astype(np.float32)
+    u = np.abs(rng.standard_normal((T, K, R)).astype(np.float32))
+    u /= u.sum(-1, keepdims=True)
+    v = np.abs(rng.standard_normal((T, K, R)).astype(np.float32))
+    v /= v.sum(-1, keepdims=True)
+    an_j, fb_j, u_j, v_j = map(jnp.asarray, (an, fb, u, v))
+
+    kw = dict(iters=50, interpret=True, P=16, stream_dtype="bfloat16")
+    padded = fused_rerank_tile(an_j, fb_j, u_j, v_j, pad_sublanes=True, **kw)
+    plain = fused_rerank_tile(an_j, fb_j, u_j, v_j, pad_sublanes=False, **kw)
+    np.testing.assert_allclose(
+        np.asarray(padded), np.asarray(plain), rtol=2e-6, atol=2e-7
+    )

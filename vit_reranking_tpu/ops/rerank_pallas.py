@@ -39,15 +39,44 @@ PAIR_LANES = 128  # pairs per grid step (P); multiple of 128 (tuned on v5e:
 # 128 -> ~900k pairs/s vs 256 -> ~800k; 512 exceeds VMEM)
 
 
+def _sublane_tile(dtype) -> int:
+    """Mosaic's VMEM sublane tile for ``dtype`` ((8*packing, 128) tiles)."""
+    return 8 * max(1, 4 // jnp.dtype(dtype).itemsize)
+
+
+def _m_padded(R: int, dtype) -> int:
+    """R_m rounded up to the sublane tile.  The packed S stream's
+    second-minor dim is R_m=49; Mosaic DMAs unaligned 49-row blocks at
+    ~146-169 GB/s on v5e vs ~395 GB/s tile-aligned (measured,
+    scripts/probe_pallas_bw_variants.py round 3) — padding the column axis
+    to 56 (f32) / 64 (bf16) trades +14/31% bytes for ~2x ISOLATED stream
+    rate.  In the real pipeline the trade is NEGATIVE (see
+    ``fused_rerank_tile``): the producer einsum also writes the padded
+    bytes and the Sinkhorn VPU loop pays the padded width, so
+    ``pad_sublanes`` defaults off (kept as a measured negative result,
+    scripts/ablate_pad_sublanes.py)."""
+    t = _sublane_tile(dtype)
+    return -(-R // t) * t
+
+
 def _sinkhorn_score_kernel(
     S_ref, u_ref, v_ref, *rest, iters, thresh, ot_temp, ot_part=1.0,
-    group_valid=None, has_cost=False, loop="while",
+    group_valid=None, has_cost=False, loop="while", m_valid=None,
 ):
     """rest = (C_ref, out_ref) when ``has_cost`` — C carries a SEPARATE
     cost/attention map for the OT kernel (the qk method builds K from the
     pair's q·k attention, reference diml.py:235-258, while the score still
     contracts against the feature similarity S) — else (out_ref,) and the
-    kernel derives from S itself."""
+    kernel derives from S itself.
+
+    ``m_valid``: when the packed stream's column axis R_m is padded up to the
+    VMEM sublane tile (so the HBM DMA is tile-aligned — ~2x the stream rate
+    on v5e, scripts/probe_pallas_bw_variants.py), only columns < m_valid are
+    real anchor patches.  Padded columns carry S=0/v=0 from the producer; the
+    kernel zeroes their OT-kernel entries and pins their column scaling to 0,
+    so every padded term contributes exact 0.0 to both reductions — real
+    lanes match the unpadded kernel to ~1 ulp (only the SIMD regrouping of
+    the sublane reduction changes; tests/test_rerank_pallas.py)."""
     if has_cost:
         C_ref, out_ref = rest
         Km = jnp.exp(-(1.0 - C_ref[0].astype(jnp.float32)) / ot_temp)
@@ -78,6 +107,24 @@ def _sinkhorn_score_kernel(
         Km = jnp.where(corner, 0.0, Km)
         u = jnp.pad(u, ((0, 1), (0, 0)), constant_values=bin_mass)
         v = jnp.pad(v, ((0, 1), (0, 0)), constant_values=bin_mass)
+
+    if m_valid is not None:
+        # columns in [m_valid, W) are sublane padding — except the dustbin
+        # column at W-1 under partial OT, which is real.  Zero their kernel
+        # entries (exact-0 contributions to both reductions) and arrange for
+        # their scaling update to divide by 1 instead of a zero column sum.
+        W, P_ = v.shape
+        col2 = jax.lax.broadcasted_iota(jnp.int32, (W, P_), 0)
+        vmask2 = (col2 < m_valid).astype(jnp.float32)
+        col3 = jax.lax.broadcasted_iota(jnp.int32, (S.shape[0], W, P_), 1)
+        kmask3 = (col3 < m_valid).astype(jnp.float32)
+        if ot_part <= 0.999:
+            vmask2 = jnp.maximum(vmask2, (col2 == W - 1).astype(jnp.float32))
+            kmask3 = jnp.maximum(kmask3, (col3 == W - 1).astype(jnp.float32))
+        Km = Km * kmask3
+        ktr_guard = 1.0 - vmask2  # +1 on dead columns only
+    else:
+        ktr_guard = None
 
     r0 = jnp.ones_like(u)
     c0 = jnp.ones_like(v)
@@ -111,6 +158,11 @@ def _sinkhorn_score_kernel(
         r_new = done * r + (1.0 - done) * (u / Kc)
         # Ktr[m, p] = sum_s Km[s, m, p] r[s, p]  (leading-axis reduction)
         Ktr = jnp.sum(Km * r_new[:, None, :], axis=0)
+        if ktr_guard is not None:
+            # dead columns have Ktr == 0 exactly (their Km is 0); divide by 1
+            # there so c stays v (= 0) instead of NaN.  Real columns add 0.0,
+            # which is bit-neutral (Ktr > 0 always).
+            Ktr = Ktr + ktr_guard
         c_new = done * c + (1.0 - done) * (v / Ktr)
         if group_valid is not None:
             # reference exit rule: mean over the whole candidate batch
@@ -144,7 +196,7 @@ def _sinkhorn_score_kernel(
     jax.jit,
     static_argnames=(
         "iters", "thresh", "ot_temp", "ot_part", "interpret", "group_valid",
-        "loop",
+        "loop", "m_valid",
     ),
 )
 def sinkhorn_scores_packed(
@@ -159,6 +211,7 @@ def sinkhorn_scores_packed(
     group_valid: Optional[int] = None,
     C_packed: Optional[jnp.ndarray] = None,
     loop: str = "while",
+    m_valid: Optional[int] = None,
 ) -> jnp.ndarray:
     """sum(T * S) per pair from packed inputs.
 
@@ -172,14 +225,19 @@ def sinkhorn_scores_packed(
         (K = exp(-(1-C)/temp)); the score still contracts against S.  Used
         by the qk method, where K comes from the pair's q·k attention
         (reference diml.py:235-258) while the score uses feature similarity.
+      m_valid: when R_m is sublane-padded (tile-aligned HBM stream), the
+        count of real anchor-patch columns; padded columns must carry
+        S=0 / v=0 (see :func:`_sinkhorn_score_kernel`).
     Returns: (nsteps, P) scores.
     """
     nsteps, Rs, Rm, P = S_packed.shape
     has_cost = C_packed is not None
+    if m_valid is not None and m_valid >= Rm:
+        m_valid = None  # no padding present
     kernel = functools.partial(
         _sinkhorn_score_kernel, iters=iters, thresh=thresh, ot_temp=ot_temp,
         ot_part=ot_part, group_valid=group_valid, has_cost=has_cost,
-        loop=loop,
+        loop=loop, m_valid=m_valid,
     )
     S_spec = pl.BlockSpec((1, Rs, Rm, P), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     in_specs = [
@@ -261,13 +319,13 @@ def _pack_groups(x: jnp.ndarray, P: int) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "iters", "thresh", "ot_temp", "ot_part", "interpret", "P",
-        "group_exit", "stream_dtype",
+        "group_exit", "stream_dtype", "pad_sublanes",
     ),
 )
 def fused_rerank_tile(
     anchors, fb_g, u, v, iters=100, thresh=1e-1, ot_temp=0.05, ot_part=1.0,
     interpret=False, P=PAIR_LANES, group_exit=None, cost=None,
-    stream_dtype="float32",
+    stream_dtype="float32", pad_sublanes=False,
 ):
     """One query tile: anchors (T, C, R), fb_g (T, K, C, R), u/v (T, K, R).
     Returns (T, K) scores.
@@ -302,6 +360,26 @@ def fused_rerank_tile(
         cost = cost.astype(s_dt)
     if group_exit is None:
         group_exit = ot_part <= 0.999
+    # tile-align the packed stream's sublane axis (R_m): pad the ANCHOR patch
+    # axis with zero-feature patches so S gains exact-0 columns (and v / cost
+    # zero columns); the kernel masks them via m_valid — real lanes match to
+    # ~1 ulp while the HBM blocks become (…, R_pad, P) aligned DMAs
+    # (~2x ISOLATED stream rate, scripts/probe_pallas_bw_variants.py).
+    # MEASURED NEGATIVE in the real pipeline (scripts/ablate_pad_sublanes.py,
+    # v5e, Q=16384 bench geometry): bf16 full OT 4.18 -> 3.83 M pairs/s
+    # (-8%), partial 7.20 -> 6.53 (-9%), f32 2.88 -> 2.91 (+1%, noise) —
+    # the producer einsum writes the +14% f32 / +31% bf16 padded bytes and
+    # the Sinkhorn VPU loop pays the padded width, which together outweigh
+    # the aligned-DMA rate gain.  Default OFF; kept selectable for future
+    # geometries where R is further from the tile.
+    R_pad = _m_padded(R, s_dt) if pad_sublanes else R
+    m_valid = R if R_pad != R else None
+    if R_pad != R:
+        mp = ((0, 0), (0, 0), (0, R_pad - R))
+        anchors = jnp.pad(anchors, mp)
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, R_pad - R)))
+        if cost is not None:
+            cost = jnp.pad(cost, ((0, 0), (0, 0), (0, 0), (0, R_pad - R)))
     if not group_exit and cost is None and T == P:
         # Fast path (measured 1.35x at the bench geometry): the einsum emits
         # the packed pairs-on-lanes layout DIRECTLY — queries ride the lane
@@ -313,18 +391,18 @@ def fused_rerank_tile(
         Sp = jnp.einsum(
             "tcm,tkcs->ksmt", anchors, fb_g,
             preferred_element_type=s_dt, precision=s_prec,
-        )  # (K, R_s, R_m, T)
+        )  # (K, R_s, R_pad, T)
         up = jnp.transpose(u, (1, 2, 0))  # (K, R, T)
         vp = jnp.transpose(v, (1, 2, 0))
         scores = sinkhorn_scores_packed(
             Sp, up, vp, iters=iters, thresh=thresh, ot_temp=ot_temp,
-            ot_part=ot_part, interpret=interpret,
+            ot_part=ot_part, interpret=interpret, m_valid=m_valid,
         )  # (K, T)
         return jnp.transpose(scores, (1, 0))
     S = jnp.einsum(
         "tcm,tkcs->tksm", anchors, fb_g,
         preferred_element_type=s_dt, precision=s_prec,
-    )  # (T, K, R_s, R_m)
+    )  # (T, K, R_s, R_pad)
     if group_exit and K > P:
         # multi-step group packing: chunk the K candidates into full P-lane
         # steps (wrapping real pairs into the tail pad so every lane in a
@@ -337,7 +415,7 @@ def fused_rerank_tile(
             _pack_groups(grp(S), P), _pack_groups(grp(u), P),
             _pack_groups(grp(v), P),
             iters=iters, thresh=thresh, ot_temp=ot_temp, ot_part=ot_part,
-            interpret=interpret, group_valid=P,
+            interpret=interpret, group_valid=P, m_valid=m_valid,
             C_packed=None if cost is None else _pack_groups(grp(cost), P),
         )
         return scores.reshape(T, nch * P)[:, :K]
@@ -349,15 +427,16 @@ def fused_rerank_tile(
         scores = sinkhorn_scores_packed(
             Sp, up, vp, iters=iters, thresh=thresh, ot_temp=ot_temp,
             ot_part=ot_part, interpret=interpret, group_valid=K, C_packed=Cp,
+            m_valid=m_valid,
         )
         return scores[:, :K]
-    Sp = _pack_pairs(S.reshape(T * K, R, R), P)
+    Sp = _pack_pairs(S.reshape(T * K, R, R_pad), P)
     up = _pack_pairs(u.reshape(T * K, R), P)
-    vp = _pack_pairs(v.reshape(T * K, R), P)
-    Cp = None if cost is None else _pack_pairs(cost.reshape(T * K, R, R), P)
+    vp = _pack_pairs(v.reshape(T * K, R_pad), P)
+    Cp = None if cost is None else _pack_pairs(cost.reshape(T * K, R, R_pad), P)
     scores = sinkhorn_scores_packed(
         Sp, up, vp, iters=iters, thresh=thresh, ot_temp=ot_temp, ot_part=ot_part,
-        interpret=interpret, C_packed=Cp,
+        interpret=interpret, C_packed=Cp, m_valid=m_valid,
     )
     flat = jnp.moveaxis(scores, -1, 1).reshape(-1)[: T * K]
     return flat.reshape(T, K)
@@ -367,7 +446,7 @@ def fused_rerank_tile(
     jax.jit,
     static_argnames=(
         "iters", "thresh", "ot_temp", "ot_part", "query_tile", "use_uniform",
-        "interpret", "stream_dtype",
+        "interpret", "stream_dtype", "pad_sublanes",
     ),
 )
 def fused_rollout_rerank_scores(
@@ -383,6 +462,7 @@ def fused_rollout_rerank_scores(
     ot_part: float = 1.0,
     interpret: bool = False,
     stream_dtype: str = "float32",
+    pad_sublanes: bool = False,
 ) -> jnp.ndarray:
     """Flagship rollout rerank over all queries, tiled to bound the gather.
 
@@ -405,7 +485,7 @@ def fused_rollout_rerank_scores(
             feature_bank, rollout, top_inds, idx,
             iters=iters, thresh=thresh, ot_temp=ot_temp, ot_part=ot_part,
             use_uniform=use_uniform, interpret=interpret, P=P,
-            stream_dtype=stream_dtype,
+            stream_dtype=stream_dtype, pad_sublanes=pad_sublanes,
         )
 
     out = jax.lax.map(tile, idx_all)  # (nt, query_tile, K)
@@ -637,13 +717,13 @@ def _featvit_tile(
     jax.jit,
     static_argnames=(
         "iters", "thresh", "ot_temp", "ot_part", "use_uniform", "interpret",
-        "P", "stream_dtype",
+        "P", "stream_dtype", "pad_sublanes",
     ),
 )
 def _rollout_tile(
     feature_bank, rollout, top_inds, idx,
     iters, thresh, ot_temp, ot_part, use_uniform, interpret, P,
-    stream_dtype="float32",
+    stream_dtype="float32", pad_sublanes=False,
 ):
     K = top_inds.shape[1]
     R = feature_bank.shape[2]
@@ -657,4 +737,5 @@ def _rollout_tile(
         feature_bank[idx], fb_g, u, v,
         iters=iters, thresh=thresh, ot_temp=ot_temp, ot_part=ot_part,
         interpret=interpret, P=P, stream_dtype=stream_dtype,
+        pad_sublanes=pad_sublanes,
     )
