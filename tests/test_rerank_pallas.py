@@ -468,6 +468,56 @@ def test_bf16_stream_close_to_f32(problem, ot_part):
 
 
 @pytest.mark.parametrize("ot_part", [1.0, 0.5], ids=["full", "partial-0.5"])
+def test_pack_gather_bit_exact_vs_prerounded_bank(ot_part):
+    """pack_gather gathers candidate rows from an int32 view of the bf16
+    bank (adjacent-pair bitcast, 4-byte gather of half the bytes).  The
+    pack/unpack roundtrip is a pure layout reinterpretation, so scores must
+    be BIT-IDENTICAL to the plain bf16-stream path fed the pre-rounded
+    bank, and within bf16 input-rounding noise of the unpacked path."""
+    from vit_reranking_tpu.ops.rerank_pallas import (
+        _pack_bank_pairs,
+        _unpack_bank_pairs,
+        fused_rollout_rerank_scores,
+    )
+
+    rng = np.random.default_rng(11)
+    N, K, C, R = 64, 8, 16, 49
+    fb = rng.standard_normal((N, C, R)).astype(np.float32)
+    fb /= np.linalg.norm(fb, axis=1, keepdims=True)
+    rollout = np.abs(rng.standard_normal((N, R))).astype(np.float32)
+    top = rng.integers(0, N, size=(N, K), dtype=np.int32)
+    fbj, rj, tj = map(jnp.asarray, (fb, rollout, top))
+    cj = fbj.mean(-1)
+
+    packed = _pack_bank_pairs(fbj)
+    assert packed.dtype == jnp.int32 and packed.shape == (N, C * R // 2)
+    np.testing.assert_array_equal(
+        np.asarray(_unpack_bank_pairs(packed, C, R)),
+        np.asarray(fbj.astype(jnp.bfloat16)),
+    )
+
+    kw = dict(
+        query_tile=32, interpret=True, stream_dtype="bfloat16",
+        ot_part=ot_part,
+    )
+    s_pack = np.asarray(
+        fused_rollout_rerank_scores(fbj, cj, rj, tj, pack_gather=True, **kw)
+    )
+    s_pre = np.asarray(
+        fused_rollout_rerank_scores(
+            fbj.astype(jnp.bfloat16).astype(jnp.float32), cj, rj, tj,
+            pack_gather=False, **kw,
+        )
+    )
+    s_plain = np.asarray(
+        fused_rollout_rerank_scores(fbj, cj, rj, tj, pack_gather=False, **kw)
+    )
+    assert np.isfinite(s_pack).all()
+    np.testing.assert_array_equal(s_pack, s_pre)
+    assert np.abs(s_pack - s_plain).max() < 5e-3  # bf16 input rounding only
+
+
+@pytest.mark.parametrize("ot_part", [1.0, 0.5], ids=["full", "partial-0.5"])
 @pytest.mark.parametrize("with_cost", [False, True], ids=["plain", "cost"])
 def test_sublane_padding_is_bit_neutral(ot_part, with_cost):
     """pad_sublanes tile-aligns the packed stream by zero-padding the anchor

@@ -59,6 +59,41 @@ def _m_padded(R: int, dtype) -> int:
     return -(-R // t) * t
 
 
+def _pack_bank_pairs(bank: jnp.ndarray) -> jnp.ndarray:
+    """(N, C, R) -> (N, C*R//2) int32 of adjacent bf16 pairs (row-major).
+
+    The producer's dominant HBM traffic is the per-tile candidate row gather
+    (~82 GB/rep read+write at the Q=16384 bench geometry in f32).  Storing
+    the bank in bf16 halves that, but XLA's row gather does not vectorize at
+    2-byte element width on this platform — measured 2.4x SLOWER than
+    gathering f32 rows (RESULTS.md round 3, 'producer bf16 + bank').  A
+    4-byte gather of the SAME bf16 payload rides the f32 gather path while
+    moving half the bytes: round to bf16 once, view adjacent element pairs
+    of each row-major (C, R) row as one int32.  bitcast + reshape are
+    layout-preserving, so :func:`_unpack_bank_pairs` reproduces the bf16
+    rows bit-exactly; on TPU the einsum's MXU pass rounds f32 inputs to
+    bf16 anyway, so pre-rounding does not change the bf16-stream scores.
+
+    MEASURED NEGATIVE (v5e, Q=16384 bench geometry,
+    scripts/ablate_pack_gather.py): 2.2x slower full OT (392 -> 851 ms/rep),
+    3.0x slower partial (224 -> 680).  Same failure mode as the raw bf16
+    gather: a materialized bf16 einsum operand uses (16, 128) VMEM tiling,
+    so XLA inserts a relayout pass over the unpacked tensor that costs more
+    than the gather bytes saved — the f32 gather feeding the MXU (which
+    rounds in hardware) is the effective floor for gather traffic on this
+    platform.  ``pack_gather`` ships default-off."""
+    N, C, R = bank.shape
+    b = bank.astype(jnp.bfloat16).reshape(N, (C * R) // 2, 2)
+    return jax.lax.bitcast_convert_type(b, jnp.int32)
+
+
+def _unpack_bank_pairs(rows: jnp.ndarray, C: int, R: int) -> jnp.ndarray:
+    """Inverse of :func:`_pack_bank_pairs` after a row gather: (..., C*R//2)
+    int32 -> (..., C, R) bf16, bit-exact."""
+    b = jax.lax.bitcast_convert_type(rows, jnp.bfloat16)  # (..., CR/2, 2)
+    return b.reshape(*rows.shape[:-1], C, R)
+
+
 def _sinkhorn_score_kernel(
     S_ref, u_ref, v_ref, *rest, iters, thresh, ot_temp, ot_part=1.0,
     group_valid=None, has_cost=False, loop="while", m_valid=None,
@@ -446,7 +481,7 @@ def fused_rerank_tile(
     jax.jit,
     static_argnames=(
         "iters", "thresh", "ot_temp", "ot_part", "query_tile", "use_uniform",
-        "interpret", "stream_dtype", "pad_sublanes",
+        "interpret", "stream_dtype", "pad_sublanes", "pack_gather",
     ),
 )
 def fused_rollout_rerank_scores(
@@ -463,6 +498,7 @@ def fused_rollout_rerank_scores(
     interpret: bool = False,
     stream_dtype: str = "float32",
     pad_sublanes: bool = False,
+    pack_gather: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Flagship rollout rerank over all queries, tiled to bound the gather.
 
@@ -473,19 +509,29 @@ def fused_rollout_rerank_scores(
     loop of per-tile dispatches costs ~30-60 ms of dispatch latency each on
     this platform (236 tiles at SOP scale ~ 7-14 s of pure overhead), and
     per-tile host dispatch also defeats XLA's cross-tile pipelining.
+
+    pack_gather gathers candidate rows from an int32-packed bf16 copy of
+    the bank (half the gather bytes) — measured 2-3x SLOWER end-to-end on
+    v5e (bf16 relayout dominates; see :func:`_pack_bank_pairs`), so it
+    defaults OFF and exists as the documented negative result.
     """
     N, C, R = feature_bank.shape
     K = top_inds.shape[1]
     P = PAIR_LANES
+    if pack_gather is None:
+        pack_gather = False
+    pack_gather = pack_gather and (C * R) % 2 == 0
+    bank = _pack_bank_pairs(feature_bank) if pack_gather else feature_bank
     nt = -(-N // query_tile)
     idx_all = (jnp.arange(nt * query_tile) % N).reshape(nt, query_tile)
 
     def tile(idx):
         return _rollout_tile(
-            feature_bank, rollout, top_inds, idx,
+            bank, rollout, top_inds, idx,
             iters=iters, thresh=thresh, ot_temp=ot_temp, ot_part=ot_part,
             use_uniform=use_uniform, interpret=interpret, P=P,
             stream_dtype=stream_dtype, pad_sublanes=pad_sublanes,
+            bank_dims=(C, R) if pack_gather else None,
         )
 
     out = jax.lax.map(tile, idx_all)  # (nt, query_tile, K)
@@ -717,24 +763,32 @@ def _featvit_tile(
     jax.jit,
     static_argnames=(
         "iters", "thresh", "ot_temp", "ot_part", "use_uniform", "interpret",
-        "P", "stream_dtype", "pad_sublanes",
+        "P", "stream_dtype", "pad_sublanes", "bank_dims",
     ),
 )
 def _rollout_tile(
     feature_bank, rollout, top_inds, idx,
     iters, thresh, ot_temp, ot_part, use_uniform, interpret, P,
-    stream_dtype="float32", pad_sublanes=False,
+    stream_dtype="float32", pad_sublanes=False, bank_dims=None,
 ):
     K = top_inds.shape[1]
-    R = feature_bank.shape[2]
-    fb_g = feature_bank[top_inds[idx]]  # (T, K, C, R)
+    if bank_dims is not None:
+        # feature_bank carries int32-packed bf16 rows (_pack_bank_pairs):
+        # gather at 4-byte width, unpack to bf16 after (bit-exact view)
+        C, R = bank_dims
+        anchors = _unpack_bank_pairs(feature_bank[idx], C, R)
+        fb_g = _unpack_bank_pairs(feature_bank[top_inds[idx]], C, R)
+    else:
+        R = feature_bank.shape[2]
+        anchors = feature_bank[idx]
+        fb_g = feature_bank[top_inds[idx]]  # (T, K, C, R)
     if use_uniform:
         u = jnp.full((idx.shape[0], K, R), 1.0 / R, jnp.float32)
         v = u
     else:
         u, v = rollout_marginals(rollout[idx], rollout[top_inds[idx]])
     return fused_rerank_tile(
-        feature_bank[idx], fb_g, u, v,
+        anchors, fb_g, u, v,
         iters=iters, thresh=thresh, ot_temp=ot_temp, ot_part=ot_part,
         interpret=interpret, P=P, stream_dtype=stream_dtype,
         pad_sublanes=pad_sublanes,
