@@ -248,6 +248,38 @@ def test_vit_swin_bf16_parity():
         assert float(cos.min()) > 0.995, (arch, cos)
 
 
+def test_resnet_bf16_parity():
+    """bf16 trunk compute for the ResNet family (BN batch stats stay f32 via
+    flax _compute_stats; heads/pooling and all returned tensors f32): close
+    to the f32 forward for the retrieval wrapper, the DIML per-patch head,
+    and the GeM/whitening variant."""
+    import types
+
+    import vit_reranking_tpu.models as archs2
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    for arch in ("resnet50_normalize", "resnet50_diml", "irresnet50"):
+        m32 = archs2.select(arch, types.SimpleNamespace(embed_dim=16, bf16=False))
+        m16 = archs2.select(arch, types.SimpleNamespace(embed_dim=16, bf16=True))
+        v = m32.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        e32, (g32, t32), _ = m32.apply(v, x, train=False)
+        e16, (g16, t16), _ = m16.apply(v, x, train=False)
+        assert e16.dtype == jnp.float32 and g16.dtype == jnp.float32
+        assert t16.dtype == jnp.float32
+        f32 = e32.reshape(2, -1)
+        f16 = e16.reshape(2, -1)
+        cos = jnp.sum(f32 * f16, -1) / (
+            jnp.linalg.norm(f32, axis=-1) * jnp.linalg.norm(f16, axis=-1)
+        )
+        assert float(cos.min()) > 0.99, (arch, cos)
+        # train mode must also run (BN batch-stats path) and mutate stats
+        _, mut = m16.apply(
+            v, x, train=True, mutable=["batch_stats"],
+        )
+        assert "batch_stats" in mut
+
+
 def test_cvt_fpn_variant():
     """FPN pooling variant (reference cvt.FPNetwork:752-816): selectable via
     the arch string, follows the (embed, (enc_out, token_map), aux) contract."""

@@ -63,12 +63,23 @@ def evaluate_plain(model, variables, loader, pad_batch=None, eval_cache=None):
 def main(argv=None):
     opt = from_args(argv)
     if opt.bf16 is None:
-        # canonical CvT training default: bf16 activations (96.7 -> 69.8
-        # ms/step on the v5e, loss parity to 3 decimals; --no-bf16 opts out)
-        opt = opt.replace(bf16=opt.arch.startswith("cvt") and "diml" not in opt.arch)
+        # bf16 activation training defaults (f32 master weights, f32 BN
+        # stats; --no-bf16 opts out): CvT 96.7 -> 69.8 ms/step, ResNet-50
+        # 82.1 -> 45.5 ms/step at bs=112 on the v5e — loss parity to 3
+        # decimals for both (RESULTS.md).  TPU only: off-TPU backends
+        # EMULATE bf16 (slower, not faster), so the CPU test mesh stays f32.
+        import jax
+
+        opt = opt.replace(
+            bf16=jax.default_backend() == "tpu"
+            and (
+                (opt.arch.startswith("cvt") and "diml" not in opt.arch)
+                or opt.arch.startswith(("resnet50", "irresnet50"))
+            )
+        )
     if opt.narrow_sm is None:
-        # bf16 training also narrows the attention softmax (69.8 -> 61.8
-        # ms/step, loss parity; --no-narrow_sm opts out)
+        # bf16 CvT training also narrows the attention softmax (69.8 -> 61.8
+        # ms/step, loss parity; --no-narrow_sm opts out; inert off-CvT)
         opt = opt.replace(narrow_sm=bool(opt.bf16))
     seed_everything(opt.seed, debug=opt.debug)
 

@@ -70,11 +70,17 @@ def main(argv=None):
     if "diml" not in opt.arch:
         opt = opt.replace(arch=opt.arch.replace("cvt", "cvt_diml", 1)) if opt.arch.startswith("cvt") else opt
     if opt.bf16 is None:
-        # CvT-DIML training default: bf16 trunk + narrowed attention softmax
-        # (99.7 -> 64.7 ms/step at bs=112/224px on the v5e; the per-patch
-        # head and the structural OT loss stay f32).  ResNet-DIML (the
-        # reference's canonical train_diml arch) has no bf16 path -> f32.
-        opt = opt.replace(bf16=opt.arch.startswith("cvt"))
+        # bf16-trunk training defaults (per-patch head + structural OT loss
+        # stay f32; --no-bf16 opts out): CvT-DIML 99.7 -> 64.7 ms/step,
+        # ResNet-DIML (the reference's canonical train_diml arch) 84.5 ->
+        # 47.2 ms/step at bs=112/224px on the v5e, loss parity (RESULTS.md).
+        # TPU only: off-TPU backends EMULATE bf16, so the CPU mesh stays f32.
+        import jax
+
+        opt = opt.replace(
+            bf16=jax.default_backend() == "tpu"
+            and opt.arch.startswith(("cvt", "resnet50", "irresnet50"))
+        )
     if opt.narrow_sm is None:
         opt = opt.replace(narrow_sm=bool(opt.bf16))
     seed_everything(opt.seed, debug=opt.debug)

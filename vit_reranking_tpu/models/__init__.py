@@ -28,17 +28,26 @@ def select(arch: str, opt):
     Pretrained-weight loading is separate (core/convert + core/checkpoint) —
     Flax modules are pure definitions.
     """
+    import jax.numpy as jnp
+
     a = arch.lower()
     normalize = "normalize" in a
     frozen = "frozen" in a
     embed_dim = opt.embed_dim
+    dtype = jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32
 
     if a.startswith("resnet50_diml"):
-        return ResNet50DIML(embed_dim=embed_dim, normalize=normalize, bn_frozen=frozen)
+        return ResNet50DIML(
+            embed_dim=embed_dim, normalize=normalize, bn_frozen=frozen,
+            dtype=dtype,
+        )
     if a.startswith("resnet50"):
-        return ResNet50Network(embed_dim=embed_dim, normalize=normalize, bn_frozen=frozen)
+        return ResNet50Network(
+            embed_dim=embed_dim, normalize=normalize, bn_frozen=frozen,
+            dtype=dtype,
+        )
     if a.startswith("irresnet50"):
-        return IRResNet(embed_dim=embed_dim)
+        return IRResNet(embed_dim=embed_dim, dtype=dtype)
     if a.startswith("densenet"):
         cfg = (6, 12, 48, 32) if "201" in a else (6, 12, 32, 32)
         return DenseNetNetwork(
@@ -52,12 +61,9 @@ def select(arch: str, opt):
             double_pool="double" in a,
         )
     if a.startswith("vit") or a.startswith("deit"):
-        import jax.numpy as jnp
-
         return ViTNetwork(
             embed_dim=embed_dim, normalize=normalize,
-            qk_block=getattr(opt, "blk_ind", 0),
-            dtype=jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32,
+            qk_block=getattr(opt, "blk_ind", 0), dtype=dtype,
         )
     if "netvlad" in a:
         return PatchNetVLADNetwork(
@@ -71,33 +77,24 @@ def select(arch: str, opt):
             vladv2=bool(getattr(opt, "vladv2", False)),
         )
     if "swin" in a:
-        import jax.numpy as jnp
-
-        return SwinNetwork(
-            embed_dim=embed_dim, normalize=normalize,
-            dtype=jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32,
-        )
+        return SwinNetwork(embed_dim=embed_dim, normalize=normalize, dtype=dtype)
     if a.startswith("cvt"):
         if "diml" in a:
-            import jax.numpy as jnp
-
             return CvTDIML(
                 embed_dim=embed_dim,
                 grid_size=getattr(opt, "grid_size", 7),
                 normalize=normalize,
                 remat=bool(getattr(opt, "remat", False)),
                 narrow_sm=bool(getattr(opt, "narrow_sm", False)),
-                dtype=jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32,
+                dtype=dtype,
             )
         if "fp" in a:  # fpn pooling variant (reference cvt.FPNetwork)
             return CvTFPNetwork(embed_dim=embed_dim, normalize=normalize)
-        import jax.numpy as jnp
-
         return CvTNetwork(
             embed_dim=embed_dim, normalize=normalize,
             remat=bool(getattr(opt, "remat", False)),
             narrow_sm=bool(getattr(opt, "narrow_sm", False)),
-            dtype=jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32,
+            dtype=dtype,
         )
     raise NotImplementedError(f"architecture {arch} not available")
 
