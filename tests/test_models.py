@@ -280,6 +280,31 @@ def test_resnet_bf16_parity():
         assert "batch_stats" in mut
 
 
+def test_legacy_bf16_parity():
+    """Same bf16-trunk recipe for the legacy RevisitDML backbones
+    (DenseNet/GoogLeNet/BN-Inception, models/legacy.py): close to the f32
+    forward, f32 outputs, BN batch-stats path runs."""
+    import types
+
+    import vit_reranking_tpu.models as archs2
+
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    for arch in ("densenet169_normalize", "googlenet_normalize",
+                 "bninception_normalize"):
+        m32 = archs2.select(arch, types.SimpleNamespace(embed_dim=16, bf16=False))
+        m16 = archs2.select(arch, types.SimpleNamespace(embed_dim=16, bf16=True))
+        v = m32.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        e32, (g16_unused, t16u), _ = m32.apply(v, x, train=False)
+        e16, (g16, t16), _ = m16.apply(v, x, train=False)
+        assert e16.dtype == jnp.float32 and g16.dtype == jnp.float32
+        assert t16.dtype == jnp.float32
+        cos = jnp.sum(e32 * e16, -1)  # both L2-normalized (_normalize arch)
+        assert float(cos.min()) > 0.99, (arch, cos)
+        _, mut = m16.apply(v, x, train=True, mutable=["batch_stats"])
+        assert "batch_stats" in mut
+
+
 def test_cvt_fpn_variant():
     """FPN pooling variant (reference cvt.FPNetwork:752-816): selectable via
     the arch string, follows the (embed, (enc_out, token_map), aux) contract."""

@@ -51,14 +51,18 @@ def select(arch: str, opt):
     if a.startswith("densenet"):
         cfg = (6, 12, 48, 32) if "201" in a else (6, 12, 32, 32)
         return DenseNetNetwork(
-            embed_dim=embed_dim, normalize=normalize, block_config=cfg, bn_frozen=frozen
+            embed_dim=embed_dim, normalize=normalize, block_config=cfg,
+            bn_frozen=frozen, dtype=dtype,
         )
     if a.startswith("googlenet"):
-        return GoogLeNetNetwork(embed_dim=embed_dim, normalize=normalize, bn_frozen=frozen)
+        return GoogLeNetNetwork(
+            embed_dim=embed_dim, normalize=normalize, bn_frozen=frozen,
+            dtype=dtype,
+        )
     if a.startswith("bninception"):
         return BNInceptionNetwork(
             embed_dim=embed_dim, normalize=normalize, bn_frozen=frozen,
-            double_pool="double" in a,
+            double_pool="double" in a, dtype=dtype,
         )
     if a.startswith("vit") or a.startswith("deit"):
         return ViTNetwork(

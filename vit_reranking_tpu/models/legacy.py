@@ -16,11 +16,15 @@ torch->JAX converters (core/convert.py) can map real checkpoints:
     (``inception_3a_double_3x3_1`` etc.), conv biases kept, avg-pool branch
     in most blocks (max in 5b), and stride-2 reduction blocks 3c/4e without
     the 1x1 branch.  ``double`` in the arch string adds max pooling to the
-    global average pool (bninception.py:31-40)."""
+    global average pool (bninception.py:31-40).
+
+``dtype`` selects the trunk's activation compute dtype (same recipe as
+models/resnet.py: bf16 convs/BN with f32 batch statistics and f32 params;
+the pooled feature, embedding head, and returned tensors stay f32)."""
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -28,9 +32,13 @@ import flax.linen as nn
 from .common import l2norm
 
 
-def _bn(train: bool, frozen: bool, name: str, eps: float = 1e-5):
+def _bn(train: bool, frozen: bool, name: str, eps: float = 1e-5,
+        dtype=jnp.float32):
+    # flax BatchNorm keeps batch statistics in f32 regardless of ``dtype``
+    # (_compute_stats upcasts), so bf16 normalization compute is safe
     return nn.BatchNorm(
-        use_running_average=(not train) or frozen, momentum=0.9, epsilon=eps, name=name
+        use_running_average=(not train) or frozen, momentum=0.9, epsilon=eps,
+        dtype=dtype, name=name,
     )
 
 
@@ -41,15 +49,18 @@ class DenseLayer(nn.Module):
     growth: int
     bn_size: int = 4
     bn_frozen: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
-        y = _bn(train, self.bn_frozen, "norm1")(x)
+        y = _bn(train, self.bn_frozen, "norm1", dtype=self.dtype)(x)
         y = nn.relu(y)
-        y = nn.Conv(self.bn_size * self.growth, (1, 1), use_bias=False, name="conv1")(y)
-        y = _bn(train, self.bn_frozen, "norm2")(y)
+        y = nn.Conv(self.bn_size * self.growth, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(y)
+        y = _bn(train, self.bn_frozen, "norm2", dtype=self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.growth, (3, 3), padding=[(1, 1)] * 2, use_bias=False, name="conv2")(y)
+        y = nn.Conv(self.growth, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
         return jnp.concatenate([x, y], axis=-1)
 
 
@@ -61,25 +72,30 @@ class DenseNetNetwork(nn.Module):
     block_config: Sequence[int] = (6, 12, 32, 32)
     growth: int = 32
     bn_frozen: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, ret_attn: bool = False):
-        f = self.bn_frozen
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2, use_bias=False, name="conv0")(x)
-        x = nn.relu(_bn(train, f, "norm0")(x))
+        f, dt = self.bn_frozen, self.dtype
+        x = x.astype(dt)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
+                    use_bias=False, dtype=dt, name="conv0")(x)
+        x = nn.relu(_bn(train, f, "norm0", dtype=dt)(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
         feats = 64
         for bi, layers in enumerate(self.block_config):
             for li in range(layers):
-                x = DenseLayer(self.growth, bn_frozen=f, name=f"block{bi}_layer{li}")(x, train)
+                x = DenseLayer(self.growth, bn_frozen=f, dtype=dt,
+                               name=f"block{bi}_layer{li}")(x, train)
             feats += layers * self.growth
             if bi < len(self.block_config) - 1:
-                x = nn.relu(_bn(train, f, f"transition{bi}_norm")(x))
+                x = nn.relu(_bn(train, f, f"transition{bi}_norm", dtype=dt)(x))
                 feats //= 2
-                x = nn.Conv(feats, (1, 1), use_bias=False, name=f"transition{bi}_conv")(x)
+                x = nn.Conv(feats, (1, 1), use_bias=False, dtype=dt,
+                            name=f"transition{bi}_conv")(x)
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        x = _bn(train, f, "norm5")(x)
-        x = nn.relu(x)
+        x = _bn(train, f, "norm5", dtype=dt)(x)
+        x = nn.relu(x).astype(jnp.float32)
         B, H, W, C = x.shape
         enc = jnp.mean(x, axis=(1, 2))
         out = nn.Dense(self.embed_dim, name="last_linear")(enc)
@@ -101,14 +117,16 @@ class BasicConv2d(nn.Module):
     k: int
     stride: int = 1
     bn_frozen: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
         x = nn.Conv(
             self.feats, (self.k, self.k), strides=(self.stride, self.stride),
-            padding=[(self.k // 2, self.k // 2)] * 2, use_bias=False, name="conv",
+            padding=[(self.k // 2, self.k // 2)] * 2, use_bias=False,
+            dtype=self.dtype, name="conv",
         )(x)
-        x = _bn(train, self.bn_frozen, "bn", eps=1e-3)(x)
+        x = _bn(train, self.bn_frozen, "bn", eps=1e-3, dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -124,17 +142,18 @@ class TVInception(nn.Module):
     c5: int
     cp: int
     bn_frozen: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
-        f = self.bn_frozen
-        b1 = BasicConv2d(self.c1, 1, bn_frozen=f, name="branch1")(x, train)
-        b2 = BasicConv2d(self.c3r, 1, bn_frozen=f, name="branch2_0")(x, train)
-        b2 = BasicConv2d(self.c3, 3, bn_frozen=f, name="branch2_1")(b2, train)
-        b3 = BasicConv2d(self.c5r, 1, bn_frozen=f, name="branch3_0")(x, train)
-        b3 = BasicConv2d(self.c5, 3, bn_frozen=f, name="branch3_1")(b3, train)
+        f, dt = self.bn_frozen, self.dtype
+        b1 = BasicConv2d(self.c1, 1, bn_frozen=f, dtype=dt, name="branch1")(x, train)
+        b2 = BasicConv2d(self.c3r, 1, bn_frozen=f, dtype=dt, name="branch2_0")(x, train)
+        b2 = BasicConv2d(self.c3, 3, bn_frozen=f, dtype=dt, name="branch2_1")(b2, train)
+        b3 = BasicConv2d(self.c5r, 1, bn_frozen=f, dtype=dt, name="branch3_0")(x, train)
+        b3 = BasicConv2d(self.c5, 3, bn_frozen=f, dtype=dt, name="branch3_1")(b3, train)
         bp = nn.max_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1)] * 2)
-        bp = BasicConv2d(self.cp, 1, bn_frozen=f, name="branch4_1")(bp, train)
+        bp = BasicConv2d(self.cp, 1, bn_frozen=f, dtype=dt, name="branch4_1")(bp, train)
         return jnp.concatenate([b1, b2, b3, bp], axis=-1)
 
 
@@ -165,21 +184,25 @@ class GoogLeNetNetwork(nn.Module):
     normalize: bool = True
     bn_frozen: bool = False
     transform_input: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, ret_attn: bool = False):
-        f = self.bn_frozen
+        f, dt = self.bn_frozen, self.dtype
         if self.transform_input:
             x = x * jnp.asarray(_TI_SCALE, x.dtype) + jnp.asarray(_TI_SHIFT, x.dtype)
-        x = BasicConv2d(64, 7, stride=2, bn_frozen=f, name="conv1")(x, train)
+        x = x.astype(dt)
+        x = BasicConv2d(64, 7, stride=2, bn_frozen=f, dtype=dt, name="conv1")(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(0, 1)] * 2)
-        x = BasicConv2d(64, 1, bn_frozen=f, name="conv2")(x, train)
-        x = BasicConv2d(192, 3, bn_frozen=f, name="conv3")(x, train)
+        x = BasicConv2d(64, 1, bn_frozen=f, dtype=dt, name="conv2")(x, train)
+        x = BasicConv2d(192, 3, bn_frozen=f, dtype=dt, name="conv3")(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(0, 1)] * 2)
         for name, c1, c3r, c3, c5r, c5, cp, down in _GOOGLENET_CFG:
-            x = TVInception(c1, c3r, c3, c5r, c5, cp, bn_frozen=f, name=name)(x, train)
+            x = TVInception(c1, c3r, c3, c5r, c5, cp, bn_frozen=f, dtype=dt,
+                            name=name)(x, train)
             if down:
                 x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(0, 1)] * 2)
+        x = x.astype(jnp.float32)
         B, H, W, C = x.shape
         enc = jnp.mean(x, axis=(1, 2))
         out = nn.Dense(self.embed_dim, name="last_linear")(enc)
@@ -202,14 +225,16 @@ class _CBR(nn.Module):
     k: int
     stride: int = 1
     bn_frozen: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
         x = nn.Conv(
             self.feats, (self.k, self.k), strides=(self.stride, self.stride),
-            padding=[(self.k // 2, self.k // 2)] * 2, use_bias=True, name="conv",
+            padding=[(self.k // 2, self.k // 2)] * 2, use_bias=True,
+            dtype=self.dtype, name="conv",
         )(x)
-        x = _bn(train, self.bn_frozen, "bn")(x)
+        x = _bn(train, self.bn_frozen, "bn", dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -240,19 +265,21 @@ class BNInceptionBlock(nn.Module):
     pool: str = "avg"
     stride: int = 1
     bn_frozen: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
         t, f, s = self.name_tag, self.bn_frozen, self.stride
+        dt = self.dtype
         pre = f"inception_{t}_"
         outs = []
         if self.c1:
-            outs.append(_CBR(self.c1, 1, bn_frozen=f, name=pre + "1x1")(x, train))
-        b3 = _CBR(self.c3r, 1, bn_frozen=f, name=pre + "3x3_reduce")(x, train)
-        outs.append(_CBR(self.c3, 3, stride=s, bn_frozen=f, name=pre + "3x3")(b3, train))
-        bd = _CBR(self.d3r, 1, bn_frozen=f, name=pre + "double_3x3_reduce")(x, train)
-        bd = _CBR(self.d3, 3, bn_frozen=f, name=pre + "double_3x3_1")(bd, train)
-        outs.append(_CBR(self.d3, 3, stride=s, bn_frozen=f, name=pre + "double_3x3_2")(bd, train))
+            outs.append(_CBR(self.c1, 1, bn_frozen=f, dtype=dt, name=pre + "1x1")(x, train))
+        b3 = _CBR(self.c3r, 1, bn_frozen=f, dtype=dt, name=pre + "3x3_reduce")(x, train)
+        outs.append(_CBR(self.c3, 3, stride=s, bn_frozen=f, dtype=dt, name=pre + "3x3")(b3, train))
+        bd = _CBR(self.d3r, 1, bn_frozen=f, dtype=dt, name=pre + "double_3x3_reduce")(x, train)
+        bd = _CBR(self.d3, 3, bn_frozen=f, dtype=dt, name=pre + "double_3x3_1")(bd, train)
+        outs.append(_CBR(self.d3, 3, stride=s, bn_frozen=f, dtype=dt, name=pre + "double_3x3_2")(bd, train))
         if s == 2:
             bp = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(0, 1)] * 2)
             outs.append(bp)
@@ -261,7 +288,7 @@ class BNInceptionBlock(nn.Module):
                 bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1)] * 2)
             else:
                 bp = nn.max_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1)] * 2)
-            outs.append(_CBR(self.cp, 1, bn_frozen=f, name=pre + "pool_proj")(bp, train))
+            outs.append(_CBR(self.cp, 1, bn_frozen=f, dtype=dt, name=pre + "pool_proj")(bp, train))
         return jnp.concatenate(outs, axis=-1)
 
 
@@ -273,20 +300,23 @@ class BNInceptionNetwork(nn.Module):
     normalize: bool = True
     bn_frozen: bool = False
     double_pool: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, ret_attn: bool = False):
-        f = self.bn_frozen
-        x = _CBR(64, 7, stride=2, bn_frozen=f, name="conv1_7x7_s2")(x, train)
+        f, dt = self.bn_frozen, self.dtype
+        x = x.astype(dt)
+        x = _CBR(64, 7, stride=2, bn_frozen=f, dtype=dt, name="conv1_7x7_s2")(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(0, 1)] * 2)
-        x = _CBR(64, 1, bn_frozen=f, name="conv2_3x3_reduce")(x, train)
-        x = _CBR(192, 3, bn_frozen=f, name="conv2_3x3")(x, train)
+        x = _CBR(64, 1, bn_frozen=f, dtype=dt, name="conv2_3x3_reduce")(x, train)
+        x = _CBR(192, 3, bn_frozen=f, dtype=dt, name="conv2_3x3")(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(0, 1)] * 2)
         for name, c1, c3r, c3, d3r, d3, cp, pool, stride in _BNINC_CFG:
             x = BNInceptionBlock(
                 name, c1, c3r, c3, d3r, d3, cp, pool=pool, stride=stride,
-                bn_frozen=f, name=f"block_{name}",
+                bn_frozen=f, dtype=dt, name=f"block_{name}",
             )(x, train)
+        x = x.astype(jnp.float32)
         B, H, W, C = x.shape
         y = jnp.mean(x, axis=(1, 2))
         if self.double_pool:
