@@ -248,6 +248,49 @@ def test_vit_swin_bf16_parity():
         assert float(cos.min()) > 0.995, (arch, cos)
 
 
+def test_vit_swin_narrow_sm_contract():
+    """narrow_sm for ViT/Swin (bf16 attention scores/softmax, same recipe as
+    models/cvt.py): inert in f32 (bit-identical forward), close to the
+    pinned-f32 softmax in bf16, and the ViT q/k capture (attention-marginal
+    rerank inputs, pre-softmax) is unaffected by the narrowing."""
+    import types
+
+    import vit_reranking_tpu.models as archs
+
+    rng = np.random.default_rng(17)
+    for arch in ("deit_normalize", "swin_normalize"):
+        size = 224 if "swin" in arch else 64
+        x = jnp.asarray(rng.standard_normal((2, size, size, 3)).astype(np.float32))
+        m32 = archs.select(arch, types.SimpleNamespace(embed_dim=16, bf16=False))
+        m32n = archs.select(
+            arch, types.SimpleNamespace(embed_dim=16, bf16=False, narrow_sm=True)
+        )
+        v = m32.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        assert bool(jnp.array_equal(m32.apply(v, x, train=False)[0],
+                                    m32n.apply(v, x, train=False)[0])), arch
+
+        mbf = archs.select(arch, types.SimpleNamespace(embed_dim=16, bf16=True))
+        mbfn = archs.select(
+            arch, types.SimpleNamespace(embed_dim=16, bf16=True, narrow_sm=True)
+        )
+        ebf = mbf.apply(v, x, train=False)[0]
+        ebfn = mbfn.apply(v, x, train=False)[0]
+        cos = jnp.sum(ebf * ebfn, -1)
+        assert float(cos.min()) > 0.995, (arch, cos)
+
+    # ViT q/k (pre-softmax projections) are identical with narrow on/off
+    mbf = archs.select("deit_normalize", types.SimpleNamespace(embed_dim=16, bf16=True))
+    mbfn = archs.select(
+        "deit_normalize", types.SimpleNamespace(embed_dim=16, bf16=True, narrow_sm=True)
+    )
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    v = mbf.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    aux0 = mbf.apply(v, x, train=False, ret_attn=True)[2]
+    aux1 = mbfn.apply(v, x, train=False, ret_attn=True)[2]
+    assert bool(jnp.array_equal(aux0["q"], aux1["q"]))
+    assert bool(jnp.array_equal(aux0["k"], aux1["k"]))
+
+
 def test_resnet_bf16_parity():
     """bf16 trunk compute for the ResNet family (BN batch stats stay f32 via
     flax _compute_stats; heads/pooling and all returned tensors f32): close

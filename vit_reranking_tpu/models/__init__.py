@@ -67,7 +67,8 @@ def select(arch: str, opt):
     if a.startswith("vit") or a.startswith("deit"):
         return ViTNetwork(
             embed_dim=embed_dim, normalize=normalize,
-            qk_block=getattr(opt, "blk_ind", 0), dtype=dtype,
+            qk_block=getattr(opt, "blk_ind", 0),
+            narrow_sm=bool(getattr(opt, "narrow_sm", False)), dtype=dtype,
         )
     if "netvlad" in a:
         return PatchNetVLADNetwork(
@@ -81,7 +82,10 @@ def select(arch: str, opt):
             vladv2=bool(getattr(opt, "vladv2", False)),
         )
     if "swin" in a:
-        return SwinNetwork(embed_dim=embed_dim, normalize=normalize, dtype=dtype)
+        return SwinNetwork(
+            embed_dim=embed_dim, normalize=normalize,
+            narrow_sm=bool(getattr(opt, "narrow_sm", False)), dtype=dtype,
+        )
     if a.startswith("cvt"):
         if "diml" in a:
             return CvTDIML(

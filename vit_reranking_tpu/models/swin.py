@@ -63,6 +63,11 @@ class WindowAttention(nn.Module):
     dim: int
     num_heads: int
     window: int = 7
+    # narrow_sm: attention scores + softmax follow the compute dtype instead
+    # of pinning f32 (models/cvt.py recipe — halves the probability tensor's
+    # HBM traffic in bf16 mode).  The rel-pos bias table and shift mask cast
+    # to the score dtype; the -100 shift mask and softmax are bf16-safe.
+    narrow_sm: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -73,8 +78,12 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(Bw, T, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
+        narrow = self.narrow_sm and self.dtype != jnp.float32
         attn = (
-            jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
+            jnp.einsum(
+                "bhtd,bhsd->bhts", q, k,
+                preferred_element_type=None if narrow else jnp.float32,
+            )
             * hd**-0.5
         )
         table = self.param(
@@ -84,11 +93,11 @@ class WindowAttention(nn.Module):
         )
         idx = jnp.asarray(_relative_position_index(self.window))
         bias = table[idx.reshape(-1)].reshape(T, T, self.num_heads)
-        attn = attn + bias.transpose(2, 0, 1)[None]
+        attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
         if mask is not None:
             nW = mask.shape[0]
             attn = attn.reshape(Bw // nW, nW, self.num_heads, T, T)
-            attn = attn + mask[None, :, None, :, :]
+            attn = attn + mask[None, :, None, :, :].astype(attn.dtype)
             attn = attn.reshape(Bw, self.num_heads, T, T)
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhts,bhsd->bhtd", attn.astype(v.dtype), v)
@@ -103,6 +112,7 @@ class SwinBlock(nn.Module):
     shift: int = 0
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    narrow_sm: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -123,7 +133,8 @@ class SwinBlock(nn.Module):
             mask = None
         wins = window_partition(y, window)
         wins = WindowAttention(
-            self.dim, self.num_heads, window, dtype=self.dtype, name="attn"
+            self.dim, self.num_heads, window, narrow_sm=self.narrow_sm,
+            dtype=self.dtype, name="attn"
         )(wins, mask, train)
         y = window_reverse(wins, window, H, W)
         if shift > 0:
@@ -168,6 +179,7 @@ class SwinNetwork(nn.Module):
     window: int = 7
     patch: int = 4
     drop_path_rate: float = 0.2
+    narrow_sm: bool = False  # bf16 attention softmax (see WindowAttention)
     dtype: Any = jnp.float32  # activation compute dtype (bf16 = mixed)
 
     @nn.compact
@@ -195,6 +207,7 @@ class SwinNetwork(nn.Module):
                     window=self.window,
                     shift=0 if bi % 2 == 0 else self.window // 2,
                     drop_path=float(dpr[b]),
+                    narrow_sm=self.narrow_sm,
                     dtype=self.dtype,
                     name=f"layer{li}_block{bi}",
                 )(x, H, W, train)

@@ -25,6 +25,12 @@ class ViTAttention(nn.Module):
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    # narrow_sm: let the (T, T) attention scores + softmax follow the compute
+    # dtype instead of pinning f32 — same recipe as models/cvt.py (halves the
+    # probability tensor's HBM traffic in bf16 mode; MXU accumulation is
+    # unchanged).  Inert in f32; q/k returned by ret_qk are pre-softmax, so
+    # the attention-marginal rerank inputs are unaffected.
+    narrow_sm: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -36,8 +42,12 @@ class ViTAttention(nn.Module):
         )(x)
         qkv = qkv.reshape(B, T, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # (B, h, T, hd)
+        narrow = self.narrow_sm and self.dtype != jnp.float32
         attn = jax.nn.softmax(
-            jnp.einsum("bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32)
+            jnp.einsum(
+                "bhtd,bhsd->bhts", q, k,
+                preferred_element_type=None if narrow else jnp.float32,
+            )
             * (hd**-0.5),
             axis=-1,
         )
@@ -55,6 +65,7 @@ class ViTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    narrow_sm: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -64,7 +75,8 @@ class ViTBlock(nn.Module):
         # self.dtype
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         attn_out, qk = ViTAttention(
-            self.dim, self.num_heads, dtype=self.dtype, name="attn"
+            self.dim, self.num_heads, narrow_sm=self.narrow_sm,
+            dtype=self.dtype, name="attn"
         )(y.astype(self.dtype), train, ret_qk)
         x = x + DropPath(self.drop_path, name="dp1")(attn_out, train)
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
@@ -89,6 +101,7 @@ class ViTNetwork(nn.Module):
     num_heads: int = 6
     patch: int = 16
     qk_block: int = 0  # block whose q/k are captured when ret_attn
+    narrow_sm: bool = False  # bf16 attention softmax (see ViTAttention)
     dtype: Any = jnp.float32  # activation compute dtype (bf16 = mixed)
 
     @nn.compact
@@ -115,7 +128,8 @@ class ViTNetwork(nn.Module):
         layer_tokens = []
         for i in range(self.depth):
             tokens, qk = ViTBlock(
-                self.dim, self.num_heads, dtype=self.dtype, name=f"block{i}"
+                self.dim, self.num_heads, narrow_sm=self.narrow_sm,
+                dtype=self.dtype, name=f"block{i}"
             )(tokens, train, ret_qk=(ret_attn and i == self.qk_block))
             if qk is not None:
                 qk_out = qk
