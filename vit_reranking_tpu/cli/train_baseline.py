@@ -70,16 +70,22 @@ def main(argv=None):
         # EMULATE bf16 (slower, not faster), so the CPU test mesh stays f32.
         import jax
 
+        # ViT/Swin joined the default set in round 3: DeiT-S 44.2 -> 25.3
+        # ms/step (+75%), Swin-T 104.5 -> 84.1 (+24%) at bs=64/224px with
+        # bf16+narrow_sm (scripts/profile_train_step.py protocol, RESULTS.md).
         opt = opt.replace(
             bf16=jax.default_backend() == "tpu"
             and (
                 (opt.arch.startswith("cvt") and "diml" not in opt.arch)
                 or opt.arch.startswith(("resnet50", "irresnet50"))
+                or opt.arch.startswith(("vit", "deit"))
+                or "swin" in opt.arch
             )
         )
     if opt.narrow_sm is None:
-        # bf16 CvT training also narrows the attention softmax (69.8 -> 61.8
-        # ms/step, loss parity; --no-narrow_sm opts out; inert off-CvT)
+        # bf16 training also narrows the attention softmax where one exists
+        # (CvT 69.8 -> 61.8 ms/step, DeiT-S 28.3 -> 25.3, Swin-T 98.8 -> 84.1;
+        # --no-narrow_sm opts out; inert for the CNN families)
         opt = opt.replace(narrow_sm=bool(opt.bf16))
     seed_everything(opt.seed, debug=opt.debug)
 
