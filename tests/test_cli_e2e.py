@@ -38,3 +38,28 @@ def test_train_then_eval(tmp_path):
         os.chdir(cwd)
     assert np.isfinite(res["r1"][0])
     assert (tmp_path / "test_results" / "test_diml_synthetic.csv").exists()
+
+
+def test_step_granular_checkpoint(tmp_path):
+    """--checkpoint_every_steps refreshes `latest` mid-epoch and the saved
+    tree resumes (cli/common.py::maybe_step_checkpoint; VERDICT r3 item 6)."""
+    from vit_reranking_tpu.cli.train_baseline import main as train_main
+
+    train_main(ARGS_COMMON + [
+        "--arch", "resnet50_normalize", "--loss", "margin",
+        "--batch_mining", "distance", "--n_epochs", "1", "--evalevery", "5",
+        "--lr", "0.0001", "--save_path", str(tmp_path), "--group", "stepck",
+        "--checkpoint_every_steps", "2",
+    ])
+    ckpt = os.path.join(str(tmp_path), "synthetic", "stepck_s1", "latest")
+    # 32 imgs / bs 8 = 4 steps -> saves at steps 2 and 4 even though the
+    # eval epoch never fires (evalevery 5 > n_epochs)
+    assert os.path.isdir(ckpt)
+    # and it resumes
+    r1 = train_main(ARGS_COMMON + [
+        "--arch", "resnet50_normalize", "--loss", "margin",
+        "--batch_mining", "distance", "--n_epochs", "1", "--evalevery", "1",
+        "--lr", "0.0001", "--save_path", str(tmp_path), "--group", "stepck2",
+        "--resume_path", ckpt,
+    ])
+    assert 0.0 <= r1 <= 100.0

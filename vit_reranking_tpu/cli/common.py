@@ -178,6 +178,62 @@ def run_train_step(step_fn, state, mesh, cache_images, lab, images, idx, sub):
     return step_fn(state, jnp.asarray(images), jnp.asarray(lab), sub)
 
 
+def maybe_step_checkpoint(opt: Config, run_dir: str, state, epoch: int, step: int):
+    """Step-granular periodic checkpoint (``--checkpoint_every_steps N``).
+
+    Refreshes ``{run_dir}/latest`` every N optimizer steps so a preempted TPU
+    job loses at most N steps of model/optimizer progress on long epochs
+    (SOP: 1000+ steps).  Resume restarts the interrupted epoch
+    (``--resume_path .../latest``); the save pulls the (possibly dp x tp
+    sharded) tree to host, and ``load_checkpoint(..., shardings=...)``
+    replaces it onto a fresh mesh (tests/test_checkpoint_mesh.py).  The
+    reference checkpoints per epoch only (utilities/misc.py:42-69)."""
+    every = int(getattr(opt, "checkpoint_every_steps", 0) or 0)
+    if not every or step % every:
+        return
+    from ..core.checkpoint import save_checkpoint
+
+    ckpt = {
+        "params": state.params, "batch_stats": state.batch_stats,
+        "loss_params": state.loss_params, "opt_state": state.opt_state,
+        "step": state.step, "epoch": epoch,
+    }
+    save_checkpoint(f"{run_dir}/latest", ckpt, {})
+
+
+def resume_train_state(path: str, state):
+    """Restore a trainer checkpoint (the {params, batch_stats, loss_params,
+    opt_state, step, epoch} dict both trainers save) into a TrainState.
+
+    The saved tree is a dict with an extra ``epoch`` leaf, so restoring with
+    the bare TrainState as the orbax target mismatches structures; build the
+    dict template from the live state instead.  Returns (state, saved_epoch)
+    — reference resume semantics: continue from the checkpointed epoch
+    (train_diml.py:206-213)."""
+    from ..core.checkpoint import load_checkpoint
+    from ..engine.train import TrainState
+
+    tmpl = {
+        "params": state.params, "batch_stats": state.batch_stats,
+        "loss_params": state.loss_params, "opt_state": state.opt_state,
+        "step": state.step, "epoch": 0,
+    }
+    try:
+        restored = load_checkpoint(path, target=tmpl)
+    except ValueError:
+        # older/bare checkpoints without the epoch leaf (e.g. converted
+        # pretrained checkpoints hold only params/batch_stats)
+        restored = load_checkpoint(path)
+    out = TrainState(
+        params=restored.get("params", state.params),
+        batch_stats=restored.get("batch_stats", state.batch_stats),
+        loss_params=restored.get("loss_params", state.loss_params),
+        opt_state=restored.get("opt_state", state.opt_state),
+        step=restored.get("step", state.step),
+    )
+    return out, int(np.asarray(restored.get("epoch", 0)))
+
+
 def load_pretrained_into(opt: Config, variables):
     """Convert a torch checkpoint into the init pytree when configured."""
     if not opt.pretrained_ckpt or not os.path.exists(opt.pretrained_ckpt):
@@ -191,27 +247,19 @@ def load_pretrained_into(opt: Config, variables):
         sd = sd["model"]
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
-    a = opt.arch.lower()
-    s = {}
-    if a.startswith("cvt"):
-        p, s = convert.convert_cvt(sd, include_head=False)
-    elif a.startswith("resnet50") or a.startswith("irresnet50"):
-        p, s = convert.convert_resnet50(sd)
-    elif a.startswith("vit") or a.startswith("deit"):
-        p = convert.convert_vit(sd)
-    elif "swin" in a:
-        p = convert.convert_swin(sd)
-    elif "netvlad" in a:
-        p = convert.convert_patchnetvlad(sd)
-    elif a.startswith("densenet"):
-        cfg = (6, 12, 48, 32) if "201" in a else (6, 12, 32, 32)
-        p, s = convert.convert_densenet(sd, block_config=cfg)
-    elif a.startswith("googlenet"):
-        p, s = convert.convert_googlenet(sd)
-    elif a.startswith("bninception"):
-        p, s = convert.convert_bninception(sd)
-    else:
-        raise NotImplementedError(f"converter for {opt.arch} pending")
+    # strict load-time audit: fail with a named diff on unconsumed / missing
+    # / shape-mismatched checkpoint keys BEFORE any weight lands in the model
+    # (core/convert.py::audit_conversion; first-real-checkpoint hardening,
+    # docs/MIGRATION.md runbook)
+    report = convert.audit_conversion(opt.arch, sd, variables=variables, strict=True)
+    p, s = report["params"], report["batch_stats"]
+    if report["uncovered_init_leaves"]:
+        heads = report["uncovered_init_leaves"]
+        print(
+            f"[convert:{opt.arch}] {len(heads)} init leaves not in the "
+            f"checkpoint (fresh-head expected, strict=False semantics): "
+            f"{heads[:8]}{' ...' if len(heads) > 8 else ''}"
+        )
     out = dict(variables)
     out["params"] = convert.merge_params(dict(variables["params"]), p)
     if s:

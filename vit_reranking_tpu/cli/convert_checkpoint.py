@@ -30,7 +30,7 @@ def main(argv=None):
     opt = from_args(argv)
     if not opt.pretrained_ckpt:
         raise SystemExit("--pretrained_ckpt is required")
-    if not opt.save_path:
+    if not opt.save_path and not opt.audit:
         raise SystemExit("--save_path is required (output checkpoint dir)")
 
     model = archs.select(opt.arch, opt)
@@ -43,6 +43,38 @@ def main(argv=None):
     variables = model.init(
         {"params": jax.random.PRNGKey(opt.seed)}, sample, train=False
     )
+
+    if opt.audit:
+        # dry mode: run the conversion under the consumption audit and print
+        # the full named diff — nothing is written (VERDICT r3 item 4; see
+        # docs/MIGRATION.md "first real checkpoint" runbook)
+        import torch
+
+        from ..core import convert
+
+        sd = torch.load(opt.pretrained_ckpt, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "model" in sd and hasattr(sd["model"], "keys"):
+            sd = sd["model"]
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        report = convert.audit_conversion(opt.arch, sd, variables=variables, strict=False)
+        print(f"[audit:{opt.arch}] {report['n_consumed']}/{report['n_keys']} keys consumed")
+        for field in ("unconsumed", "ignored_unconsumed", "shape_mismatches",
+                      "structural_extras", "uncovered_init_leaves"):
+            vals = report[field]
+            print(f"  {field}: {len(vals)}")
+            for v in vals[:40]:
+                print(f"    {v}")
+            if len(vals) > 40:
+                print(f"    ... +{len(vals) - 40} more")
+        if report["problems"]:
+            print("AUDIT FAILED:")
+            for pr in report["problems"]:
+                print(f"  - {pr}")
+            raise SystemExit(1)
+        print("audit OK (would convert cleanly)")
+        return None
+
     variables = load_pretrained_into(opt, variables)
 
     save_checkpoint(opt.save_path, dict(variables), metrics=None)

@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.checkpoint import copy_best, load_checkpoint, save_checkpoint
+from ..core.checkpoint import copy_best, save_checkpoint
 from ..core.config import from_args
 from ..core.logger import RunLogger
 from ..data.loader import build_dataset
@@ -30,6 +30,8 @@ from ..parallel.mesh import create_mesh
 from .common import (
     build_training,
     epoch_batches,
+    maybe_step_checkpoint,
+    resume_train_state,
     run_train_step,
     seed_everything,
     setup_device_cache,
@@ -116,8 +118,8 @@ def main(argv=None):
     print(f"[train_baseline] run dir: {logger.run_dir}")
 
     if opt.resume_path:
-        restored = load_checkpoint(opt.resume_path, target=state)
-        state = restored
+        state, saved_epoch = resume_train_state(opt.resume_path, state)
+        print(f"[train_baseline] resumed {opt.resume_path} (epoch {saved_epoch})")
 
     best_r1, patience_ctr = -1.0, 0
     key = jax.random.PRNGKey(opt.seed + 1)
@@ -136,6 +138,7 @@ def main(argv=None):
             # copy for it; we drain once per epoch instead)
             epoch_losses.append(m["loss"])
             step += 1
+            maybe_step_checkpoint(opt, logger.run_dir, state, epoch, step)
         epoch_losses = [float(x) for x in epoch_losses]
         logger.log(
             "Train",

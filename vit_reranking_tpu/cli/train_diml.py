@@ -14,7 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.checkpoint import copy_best, load_checkpoint, save_checkpoint
+from ..core.checkpoint import copy_best, save_checkpoint
 from ..core.config import from_args
 from ..core.logger import RunLogger
 from ..data.loader import build_dataset
@@ -24,6 +24,8 @@ from ..parallel.mesh import create_mesh
 from .common import (
     build_training,
     epoch_batches,
+    maybe_step_checkpoint,
+    resume_train_state,
     run_train_step,
     seed_everything,
     setup_device_cache,
@@ -112,7 +114,8 @@ def main(argv=None):
     print(f"[train_diml] run dir: {logger.run_dir}")
 
     if opt.resume_path:
-        state = load_checkpoint(opt.resume_path, target=state)
+        state, saved_epoch = resume_train_state(opt.resume_path, state)
+        print(f"[train_diml] resumed {opt.resume_path} (epoch {saved_epoch})")
 
     best_r1, patience_ctr = -1.0, 0
     key = jax.random.PRNGKey(opt.seed + 1)
@@ -137,6 +140,9 @@ def main(argv=None):
                 step_fn, state, mesh, cache_images, lab, images, idx, sub
             )
             epoch_losses.append(m["loss"])  # device scalar; drained per epoch
+            maybe_step_checkpoint(
+                opt, logger.run_dir, state, epoch, len(epoch_losses)
+            )
         epoch_losses = [float(x) for x in epoch_losses]
         logger.log("Train", {"loss": float(np.mean(epoch_losses))}, epoch)
         print(f"epoch {epoch}: loss={np.mean(epoch_losses):.4f} ({time.time()-t0:.1f}s)")

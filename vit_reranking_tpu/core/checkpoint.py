@@ -37,14 +37,29 @@ def save_checkpoint(path: str, state: Dict[str, Any], metrics: Optional[dict] = 
             json.dump(metrics, f, indent=1)
 
 
-def load_checkpoint(path: str, target: Optional[Any] = None):
+def load_checkpoint(
+    path: str, target: Optional[Any] = None, shardings: Optional[Any] = None
+):
     """Load a checkpoint saved by save_checkpoint.  When ``target`` is given,
-    the restored arrays adopt its structure/dtypes."""
+    the restored arrays adopt its structure/dtypes.
+
+    ``shardings`` places the restored tree onto a device mesh: either one
+    ``NamedSharding`` for the whole tree or a pytree of shardings matching
+    the restored structure (e.g. ``parallel.mesh.tp_state_shardings`` output).
+    This is the preemption-recovery path for dp x tp training: a mid-epoch
+    checkpoint saved from a sharded TrainState restores onto a FRESH mesh and
+    training continues bit-identically (tests/test_checkpoint_mesh.py; the
+    reference's resume is host-side torch.load, train_diml.py:206-213, and
+    has no notion of placement)."""
     path = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
         if target is not None:
-            return ckptr.restore(path, item=_to_host(target))
-        return ckptr.restore(path)
+            restored = ckptr.restore(path, item=_to_host(target))
+        else:
+            restored = ckptr.restore(path)
+    if shardings is not None:
+        restored = jax.device_put(restored, shardings)
+    return restored
 
 
 def copy_best(run_dir: str, name: str = "latest"):

@@ -139,6 +139,13 @@ class Config:
     # reuse; empty string here means caching off
     cache_path: str = ""
     save_every_epoch: bool = False
+    # step-granular periodic checkpointing for long epochs (SOP: 1000+
+    # steps/epoch) — 0 disables; N > 0 refreshes `latest` every N optimizer
+    # steps so a preempted TPU job loses at most N steps of model/optimizer
+    # progress (resume restarts the interrupted epoch).  SURVEY section 5
+    # failure-recovery row; no reference equivalent (torch saves per epoch,
+    # utilities/misc.py:42-69).
+    checkpoint_every_steps: int = 0
 
     # ---- XBM (parameters.py:138-141)
     enable_xbm: bool = False
@@ -261,6 +268,10 @@ class Config:
     # train_epoch_KD_xbm.py:276-303 — embed, save feat_<i>.npz, log MSE)
     track_drift: bool = False
     pretrained_ckpt: Optional[str] = None  # torch checkpoint for converters
+    # convert_checkpoint --audit: dry-run the converter under the consumption
+    # audit (core/convert.py::audit_conversion) and print the named diff —
+    # nothing is written.  First-real-checkpoint contact check.
+    audit: bool = False
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -31,6 +31,61 @@ def _np(t) -> np.ndarray:
     return np.asarray(t)
 
 
+class TrackedStateDict(dict):
+    """A state_dict that records which ORIGINAL checkpoint keys a converter
+    actually reads — the audit substrate for first contact with a real
+    released ``.pth`` (VERDICT r3 item 4).
+
+    Reads via ``[]``/``get`` mark the key consumed; plain iteration
+    (``items``/``keys``/``in``) does not.  ``strip_prefix`` threads the
+    tracking through key renames, and the ``sd[new] = sd.pop(old)`` rename
+    idiom (convert_densenet's legacy-key normalization) transfers the origin
+    to the new key instead of marking the old one consumed."""
+
+    def __init__(self, data=(), consumed=None, origin=None):
+        super().__init__(data)
+        self.consumed = set() if consumed is None else consumed
+        self._origin = {k: k for k in self} if origin is None else origin
+        self._pending_origin = None
+
+    def _mark(self, k):
+        self.consumed.add(self._origin.get(k, k))
+
+    def __getitem__(self, k):
+        v = super().__getitem__(k)
+        self._mark(k)
+        return v
+
+    def get(self, k, default=None):
+        if super().__contains__(k):
+            return self[k]
+        return default
+
+    def __setitem__(self, k, v):
+        super().__setitem__(k, v)
+        if self._pending_origin is not None:
+            self._origin[k] = self._pending_origin
+            self._pending_origin = None
+        else:
+            self._origin.setdefault(k, k)
+
+    def pop(self, k, *default):
+        if super().__contains__(k):
+            v = super().pop(k)
+            # rename idiom: the value survives under a new key, so the origin
+            # transfers instead of counting as a read
+            self._pending_origin = self._origin.pop(k, k)
+            return v
+        if default:
+            return default[0]
+        raise KeyError(k)
+
+    def unconsumed(self):
+        """Original-key names never read by the converter."""
+        live = {self._origin.get(k, k) for k in self}
+        return sorted(live - self.consumed)
+
+
 def _conv_kernel(w) -> np.ndarray:
     return _np(w).transpose(2, 3, 1, 0)
 
@@ -50,7 +105,16 @@ def strip_prefix(state_dict: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
     """Drop a leading prefix (e.g. 'model.' or 'module.') from every key.
 
     Mirrors the reference's module-prefix stripping (utilities/misc.py:58-62).
+    A :class:`TrackedStateDict` input stays tracked: the stripped copy shares
+    the consumed set and maps each new key back to its original name.
     """
+    if isinstance(state_dict, TrackedStateDict):
+        items, origin = {}, {}
+        for k in state_dict:  # plain iteration: no consumption marking
+            nk = k[len(prefix):] if k.startswith(prefix) else k
+            items[nk] = dict.__getitem__(state_dict, k)
+            origin[nk] = state_dict._origin.get(k, k)
+        return TrackedStateDict(items, consumed=state_dict.consumed, origin=origin)
     out = {}
     for k, v in state_dict.items():
         out[k[len(prefix):] if k.startswith(prefix) else k] = v
@@ -70,7 +134,7 @@ def convert_cvt(
     ``stage2.blocks.9.attn.conv_proj_q.conv.weight``.  Returns the pytrees for
     the ``trunk`` scope plus top-level ``norm``/``head`` if present.
     """
-    sd = strip_prefix(dict(state_dict), "model.")
+    sd = strip_prefix(state_dict, "model.")
     params: Dict = {}
     stats: Dict = {}
 
@@ -142,7 +206,7 @@ def convert_vit(
     layout): patch_embed.proj, cls_token, pos_embed, blocks.N.{norm1,attn.qkv,
     attn.proj,norm2,mlp.fc1,fc2}, norm.  ``target_grid`` zooms the position
     embedding to a different token grid (reference cvt.py:574-603 rule)."""
-    sd = strip_prefix(dict(state_dict), "module.")
+    sd = strip_prefix(state_dict, "module.")
     p: Dict = {}
     _set(p, ("patch_embed_proj", "kernel"), _conv_kernel(sd["patch_embed.proj.weight"]))
     _set(p, ("patch_embed_proj", "bias"), _np(sd["patch_embed.proj.bias"]))
@@ -172,7 +236,7 @@ def convert_vit(
 def convert_resnet50(state_dict: Mapping[str, Any]) -> Tuple[Dict, Dict]:
     """torchvision/pretrainedmodels ResNet-50 -> (params, batch_stats) for
     models.resnet.ResNet50Trunk (scope 'trunk')."""
-    sd = strip_prefix(dict(state_dict), "module.")
+    sd = strip_prefix(state_dict, "module.")
     sd = strip_prefix(sd, "model.")
     params: Dict = {}
     stats: Dict = {}
@@ -200,7 +264,7 @@ def convert_resnet50(state_dict: Mapping[str, Any]) -> Tuple[Dict, Dict]:
 
 def convert_swin(state_dict: Mapping[str, Any], depths=(2, 2, 6, 2)) -> Dict:
     """timm/microsoft swin_tiny checkpoint -> params for models.swin.SwinNetwork."""
-    sd = strip_prefix(dict(state_dict), "module.")
+    sd = strip_prefix(state_dict, "module.")
     p: Dict = {}
     _set(p, ("patch_embed_proj", "kernel"), _conv_kernel(sd["patch_embed.proj.weight"]))
     _set(p, ("patch_embed_proj", "bias"), _np(sd["patch_embed.proj.bias"]))
@@ -239,7 +303,7 @@ def convert_patchnetvlad(state_dict: Mapping[str, Any]) -> Dict:
 
     Layout (reference patchnetvlad.py:106-135): encoder.N.{weight,bias} for
     VGG conv layers, pool.conv/centroids, WPCA.0.{weight,bias} (1x1 conv)."""
-    sd = strip_prefix(dict(state_dict), "module.")
+    sd = strip_prefix(state_dict, "module.")
     p: Dict = {}
     conv_i = 0
     # torchvision VGG16 features conv indices (through conv5_3, pools removed)
@@ -278,7 +342,7 @@ def convert_densenet(
     (densenet.py:10-25)."""
     import re
 
-    sd = strip_prefix(dict(state_dict), "module.")
+    sd = strip_prefix(state_dict, "module.")
     sd = strip_prefix(sd, "model.")
     pat = re.compile(
         r"^(.*denselayer\d+\.(?:norm|relu|conv))\."
@@ -323,7 +387,7 @@ def convert_googlenet(state_dict: Mapping[str, Any]) -> Tuple[Dict, Dict]:
     models.legacy.GoogLeNetNetwork (reference architectures/googlenet.py:17).
     Aux-classifier weights are skipped (eval path never runs them); the
     embedding head maps from ``last_linear``/``fc``."""
-    sd = strip_prefix(dict(state_dict), "module.")
+    sd = strip_prefix(state_dict, "module.")
     sd = strip_prefix(sd, "model.")
     params: Dict = {}
     stats: Dict = {}
@@ -361,7 +425,7 @@ def convert_bninception(state_dict: Mapping[str, Any]) -> Tuple[Dict, Dict]:
     The pretrainedmodels state dict is flat (``inception_3a_double_3x3_1``);
     conv layers keep their Caffe biases.  Flax module names equal the torch
     layer names, nested under the owning block scope."""
-    sd = strip_prefix(dict(state_dict), "module.")
+    sd = strip_prefix(state_dict, "module.")
     sd = strip_prefix(sd, "model.")
     params: Dict = {}
     stats: Dict = {}
@@ -376,32 +440,188 @@ def convert_bninception(state_dict: Mapping[str, Any]) -> Tuple[Dict, Dict]:
             return (f"block_{base.split('_')[1]}", base, inner)
         return (base, inner)
 
-    for k, v in sd.items():
+    # reads go through sd[k] (not .items()) so a TrackedStateDict audit sees
+    # exactly which keys a rule consumed; unmapped leaves stay unconsumed
+    for k in list(sd):
         if "." not in k:
             continue
         layer, leaf = k.rsplit(".", 1)
         if layer in ("last_linear", "fc"):
             if leaf == "weight":
-                _set(params, ("last_linear", "kernel"), _dense_kernel(v))
+                _set(params, ("last_linear", "kernel"), _dense_kernel(sd[k]))
             elif leaf == "bias":
-                _set(params, ("last_linear", "bias"), _np(v))
+                _set(params, ("last_linear", "bias"), _np(sd[k]))
             continue
         dst = scope(layer)
         if layer.endswith("_bn"):
             if leaf == "weight":
-                _set(params, dst + ("scale",), _np(v))
+                _set(params, dst + ("scale",), _np(sd[k]))
             elif leaf == "bias":
-                _set(params, dst + ("bias",), _np(v))
+                _set(params, dst + ("bias",), _np(sd[k]))
             elif leaf == "running_mean":
-                _set(stats, dst + ("mean",), _np(v))
+                _set(stats, dst + ("mean",), _np(sd[k]))
             elif leaf == "running_var":
-                _set(stats, dst + ("var",), _np(v))
+                _set(stats, dst + ("var",), _np(sd[k]))
         else:
             if leaf == "weight":
-                _set(params, dst + ("kernel",), _conv_kernel(v))
+                _set(params, dst + ("kernel",), _conv_kernel(sd[k]))
             elif leaf == "bias":
-                _set(params, dst + ("bias",), _np(v))
+                _set(params, dst + ("bias",), _np(sd[k]))
     return params, stats
+
+
+def convert_for_arch(arch: str, sd: Mapping[str, Any]) -> Tuple[Dict, Dict]:
+    """Arch-string -> converter dispatch (the same routing the reference does
+    at model-construction time, architectures/__init__.py:11-34).  Returns
+    (params, batch_stats) — batch_stats empty for stat-less models."""
+    a = arch.lower()
+    if a.startswith("cvt"):
+        p, s = convert_cvt(sd, include_head=False)
+    elif a.startswith("resnet50") or a.startswith("irresnet50"):
+        p, s = convert_resnet50(sd)
+    elif a.startswith("vit") or a.startswith("deit"):
+        p, s = convert_vit(sd), {}
+    elif "swin" in a:
+        p, s = convert_swin(sd), {}
+    elif "netvlad" in a:
+        p, s = convert_patchnetvlad(sd), {}
+    elif a.startswith("densenet"):
+        cfg = (6, 12, 48, 32) if "201" in a else (6, 12, 32, 32)
+        p, s = convert_densenet(sd, block_config=cfg)
+    elif a.startswith("googlenet"):
+        p, s = convert_googlenet(sd)
+    elif a.startswith("bninception"):
+        p, s = convert_bninception(sd)
+    else:
+        raise NotImplementedError(f"converter for {arch} pending")
+    return p, s
+
+
+# Checkpoint keys real released .pth files carry that the converters
+# intentionally skip (classification heads replaced by the fresh DML head —
+# reference load_state_dict(strict=False) semantics, cvt.py:713-722 — plus
+# torch bookkeeping buffers that have no Flax counterpart).
+IGNORABLE_UNCONSUMED = (
+    "num_batches_tracked",      # torch BN step counter
+    "head.weight", "head.bias",  # ImageNet classifier (replaced)
+    "fc.weight", "fc.bias",      # torchvision resnet/googlenet classifier
+    "classifier.weight", "classifier.bias",  # torchvision densenet
+    "head_dist.", "dist_token",  # DeiT distillation branch (unused, vit.py:31)
+    "attn_mask",                 # swin shift-mask buffer (recomputed)
+    "relative_position_index",   # swin index buffer (recomputed)
+    "aux1.", "aux2.",            # googlenet aux classifiers (eval never runs)
+    "pre_logits.",               # timm ViT representation layer (unused)
+)
+
+
+class ConversionAuditError(ValueError):
+    """A converter audit failed — the message carries the named diff."""
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out["/".join(prefix + (k,))] = v
+    return out
+
+
+def audit_conversion(
+    arch: str,
+    state_dict: Mapping[str, Any],
+    variables: Optional[Mapping[str, Any]] = None,
+    strict: bool = True,
+):
+    """Dry-run a converter under a consumption audit (VERDICT r3 item 4).
+
+    Checks, against a REAL checkpoint's state_dict:
+      * missing keys — the converter read a key the checkpoint lacks
+        (raised by the converter as KeyError, re-raised here with context);
+      * unconsumed keys — checkpoint keys no converter rule ever read,
+        minus the documented IGNORABLE_UNCONSUMED set (a silent transcription
+        divergence usually shows up here first: a renamed torch submodule
+        leaves its whole subtree unconsumed);
+      * shape mismatches / structural extras — converted leaves that do not
+        exist in the model's init tree or disagree with its shapes
+        (``variables`` = ``model.init(...)`` output);
+      * uncovered init leaves — model parameters the checkpoint does not
+        provide (EXPECTED for the fresh embedding head; reported, not fatal —
+        reference load_state_dict(strict=False), cvt.py:713-722).
+
+    Returns a report dict; with ``strict`` raises ConversionAuditError on any
+    fatal finding, naming every offending key.
+    """
+    tracked = TrackedStateDict({k: v for k, v in state_dict.items()})
+    try:
+        p, s = convert_for_arch(arch, tracked)
+    except KeyError as e:
+        raise ConversionAuditError(
+            f"[convert:{arch}] checkpoint is MISSING key {e.args[0]!r} that "
+            f"the converter requires — wrong checkpoint family, or a "
+            f"transcription divergence.  Checkpoint has {len(state_dict)} "
+            f"keys; run audit_conversion(strict=False) for the full map."
+        ) from e
+
+    unconsumed_all = tracked.unconsumed()
+    ignored = [
+        k for k in unconsumed_all
+        if any(pat in k for pat in IGNORABLE_UNCONSUMED)
+    ]
+    unconsumed = [k for k in unconsumed_all if k not in set(ignored)]
+
+    shape_mismatches, extras, uncovered = [], [], []
+    if variables is not None:
+        init_flat = _flatten(
+            {"params": dict(variables["params"]),
+             "batch_stats": dict(variables.get("batch_stats", {}))}
+        )
+        conv_flat = _flatten({"params": p, "batch_stats": s})
+        for k, v in conv_flat.items():
+            if k not in init_flat:
+                extras.append(k)
+            elif tuple(np.shape(init_flat[k])) != tuple(np.shape(v)):
+                shape_mismatches.append(
+                    f"{k}: init {tuple(np.shape(init_flat[k]))} "
+                    f"vs ckpt {tuple(np.shape(v))}"
+                )
+        covered = set(conv_flat)
+        uncovered = sorted(k for k in init_flat if k not in covered)
+
+    report = {
+        "arch": arch,
+        "n_keys": len(state_dict),
+        "n_consumed": len(tracked.consumed),
+        "unconsumed": unconsumed,
+        "ignored_unconsumed": ignored,
+        "shape_mismatches": shape_mismatches,
+        "structural_extras": extras,
+        "uncovered_init_leaves": uncovered,
+        "params": p,
+        "batch_stats": s,
+    }
+    problems = []
+    if unconsumed:
+        problems.append(
+            f"{len(unconsumed)} checkpoint keys were never consumed "
+            f"(first 20): {unconsumed[:20]}"
+        )
+    if shape_mismatches:
+        problems.append(
+            f"{len(shape_mismatches)} shape mismatches: {shape_mismatches[:20]}"
+        )
+    if extras:
+        problems.append(
+            f"{len(extras)} converted leaves have no init counterpart "
+            f"(first 20): {extras[:20]}"
+        )
+    if problems and strict:
+        raise ConversionAuditError(
+            f"[convert:{arch}] audit failed:\n  - " + "\n  - ".join(problems)
+        )
+    report["problems"] = problems
+    return report
 
 
 def merge_params(base: Dict, override: Dict) -> Dict:

@@ -67,6 +67,10 @@ class WindowAttention(nn.Module):
     # of pinning f32 (models/cvt.py recipe — halves the probability tensor's
     # HBM traffic in bf16 mode).  The rel-pos bias table and shift mask cast
     # to the score dtype; the -100 shift mask and softmax are bf16-safe.
+    # No attention-PROBABILITY consumer exists in the Swin path (no ret_attn:
+    # only the output tokens leave this module), so unconditional narrowing
+    # is safe; if a rollout/CAM-style consumer is ever added, mirror
+    # models/cvt.py's `and not ret_attn` gate (see models/vit.py).
     narrow_sm: bool = False
     dtype: Any = jnp.float32
 

@@ -29,7 +29,11 @@ class ViTAttention(nn.Module):
     # dtype instead of pinning f32 — same recipe as models/cvt.py (halves the
     # probability tensor's HBM traffic in bf16 mode; MXU accumulation is
     # unchanged).  Inert in f32; q/k returned by ret_qk are pre-softmax, so
-    # the attention-marginal rerank inputs are unaffected.
+    # the attention-marginal rerank inputs are unaffected.  Mirroring
+    # models/cvt.py's `and not ret_attn` gate, narrowing also disables on the
+    # probed block (ret_qk) so any future consumer of its attention
+    # PROBABILITIES gets the f32 softmax — today only pre-softmax q/k leave
+    # the block, so this is belt-and-braces, not a behavior fix.
     narrow_sm: bool = False
     dtype: Any = jnp.float32
 
@@ -42,7 +46,7 @@ class ViTAttention(nn.Module):
         )(x)
         qkv = qkv.reshape(B, T, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # (B, h, T, hd)
-        narrow = self.narrow_sm and self.dtype != jnp.float32
+        narrow = self.narrow_sm and self.dtype != jnp.float32 and not ret_qk
         attn = jax.nn.softmax(
             jnp.einsum(
                 "bhtd,bhsd->bhts", q, k,
