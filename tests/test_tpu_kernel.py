@@ -109,6 +109,65 @@ _PROBE = textwrap.dedent(
     d = np.abs(out[:8] - ref).max()
     assert d < 1e-3, d
     print(f"K=256 group-exit partial OT: max diff {d:.2e} OK")
+
+    # round-4 additions (VERDICT r3 item 3): every dispatch mode bench.py and
+    # the CLIs can select must be guarded on COMPILED Mosaic, not just the
+    # interpret-mode CPU suite.
+
+    # (6) bf16 similarity stream — the bench.py default — vs the f32 stream
+    out_f = np.asarray(fused_rollout_rerank_scores(
+        fb_j, c_j, r_j, top_j, query_tile=128))
+    out_b = np.asarray(fused_rollout_rerank_scores(
+        fb_j, c_j, r_j, top_j, query_tile=128, stream_dtype="bfloat16"))
+    d = np.abs(out_b - out_f).max()
+    agree = float((out_b.argmax(1) == out_f.argmax(1)).mean())
+    assert d < 5e-3 and agree > 0.97, (d, agree)
+    print(f"bf16 stream: max |dS| {d:.2e}, top-1 agree {agree:.4f} OK")
+
+    # (7) pad_sublanes masked kernel: real lanes match unpadded to ~1 ulp
+    out_p = np.asarray(fused_rollout_rerank_scores(
+        fb_j, c_j, r_j, top_j, query_tile=128, pad_sublanes=True))
+    d = np.abs(out_p - out_f).max()
+    assert d < 1e-4, d
+    print(f"pad_sublanes: max diff {d:.2e} OK")
+
+    # (8) pack_gather: int32-packed bf16 bank gather is BIT-identical to the
+    # bf16 stream fed the pre-rounded bank (pure layout reinterpretation)
+    kwp = dict(query_tile=128, stream_dtype="bfloat16")
+    s_pack = np.asarray(fused_rollout_rerank_scores(
+        fb_j, c_j, r_j, top_j, pack_gather=True, **kwp))
+    s_pre = np.asarray(fused_rollout_rerank_scores(
+        fb_j.astype(jnp.bfloat16).astype(jnp.float32), c_j, r_j, top_j,
+        pack_gather=False, **kwp))
+    assert np.array_equal(s_pack, s_pre), np.abs(s_pack - s_pre).max()
+    print("pack_gather: bit-identical to pre-rounded bank OK")
+
+    # (9) end-to-end rerank_evaluate R@K through the fused engine on a
+    # separable synthetic bank: the rerank must not degrade stage-0 R@1,
+    # and bf16-stream metrics must match f32 within the e2e protocol
+    from vit_reranking_tpu.engine.rerank_eval import rerank_evaluate
+    ncls = 16
+    protos = rng.standard_normal((ncls, C)).astype(np.float32)
+    labels = np.repeat(np.arange(ncls), Q // ncls)
+    bank_e = protos[labels][:, :, None] + 0.55 * rng.standard_normal(
+        (Q, C, R)).astype(np.float32)
+    bank_e /= np.linalg.norm(bank_e, axis=1, keepdims=True)
+    cent_e = bank_e.mean(-1)
+    cent_e /= np.linalg.norm(cent_e, axis=-1, keepdims=True)
+    roll_e = np.abs(rng.standard_normal((Q, R))).astype(np.float32)
+    be, ce, re_, le = map(jnp.asarray, (bank_e, cent_e, roll_e, labels))
+    res_f = rerank_evaluate(
+        be, ce, le, rollout=re_, trunc_nums=(0, 32), method="rollout",
+        query_block=128)
+    res_b = rerank_evaluate(
+        be, ce, le, rollout=re_, trunc_nums=(0, 32), method="rollout",
+        query_block=128, stream_dtype="bfloat16")
+    for m in ("r1", "rp", "mapr"):
+        assert np.isfinite(res_f[m][32]) and np.isfinite(res_b[m][32])
+        assert abs(res_f[m][32] - res_b[m][32]) <= 0.2, (m, res_f[m], res_b[m])
+    assert res_f["r1"][32] >= res_f["r1"][0] - 0.2, res_f["r1"]
+    print(f"e2e rerank_evaluate: R@1 {res_f['r1'][0]:.2f} -> "
+          f"{res_f['r1'][32]:.2f} (bf16 {res_b['r1'][32]:.2f}) OK")
     """
 )
 
