@@ -68,13 +68,21 @@ def main():
                 padding_q=(0, 0, 0),
             )
         stage = CvTStage(spec=spec, index=args.stage, dtype=dtype,
-                         remat=name == "remat", narrow_sm=name == "bf16sm")
+                         remat=name == "remat",
+                         narrow_sm=name in ("bf16sm", "kvres_sm"))
         frozen = name == "bn_frozen"
 
         old_flash = getattr(cvt_mod, "USE_FLASH_ATTENTION", None)
+        old_kvres = getattr(cvt_mod, "USE_KV_RESIDENT_ATTENTION", None)
         old_attn = cvt_mod.CvTAttention
         if name == "flash":
             cvt_mod.USE_FLASH_ATTENTION = True
+        if name == "kvres":
+            # kv-resident fused attention (ops/attention_pallas.py): probs
+            # never touch HBM in fwd OR bwd; custom VJP
+            cvt_mod.USE_KV_RESIDENT_ATTENTION = True
+        if name == "kvres_sm":
+            cvt_mod.USE_KV_RESIDENT_ATTENTION = True
         if name == "noattn":
             import flax.linen as nn
             from vit_reranking_tpu.models.common import trunc_normal_init
@@ -142,6 +150,8 @@ def main():
         finally:
             if old_flash is not None:
                 cvt_mod.USE_FLASH_ATTENTION = old_flash
+            if old_kvres is not None:
+                cvt_mod.USE_KV_RESIDENT_ATTENTION = old_kvres
             cvt_mod.CvTAttention = old_attn
 
     for name in args.cases:

@@ -72,6 +72,15 @@ CVT13_SPEC = CvTSpec()
 # (rollout) always uses the materializing path — rollout needs the probs.
 USE_FLASH_ATTENTION = False
 
+# KV-resident fused attention (ops/attention_pallas.py): unlike the generic
+# flash kernel above, it exploits CvT's tiny kv sequences (784x64 / 196x64 —
+# the whole kv block lives in VMEM) to run attention in ONE pass per q block
+# with plain softmax and a custom VJP that accumulates dK/dV in VMEM — the
+# (T, T_kv) probability tensor never touches HBM in either direction.
+# Applies to cls-free stages (0/1) with attn_drop == 0; rollout/ret_attn
+# keeps the materializing path (it needs the probabilities).
+USE_KV_RESIDENT_ATTENTION = False
+
 def _block128(n: int, cap: int = 512) -> int:
     """Largest multiple of 128 <= cap dividing n (n must be a multiple of
     128; the kernel requires 128-multiple blocks)."""
@@ -204,6 +213,22 @@ class CvTAttention(nn.Module):
 
         # scale uses the FULL dim, not head dim (reference cvt.py:105)
         scale = self.dim**-0.5
+        if (
+            USE_KV_RESIDENT_ATTENTION
+            and not ret_attn
+            and cls_tok is None
+            and self.attn_drop == 0.0
+            and jax.default_backend() == "tpu"
+        ):
+            from ..ops.attention_pallas import cvt_attention
+
+            out = cvt_attention(q, k, v, scale)
+            if out is not None:
+                out = out.transpose(0, 2, 1, 3).reshape(B, -1, self.dim)
+                out = nn.Dense(self.dim, kernel_init=trunc_normal_init(),
+                               dtype=self.dtype, name="proj")(out)
+                out = nn.Dropout(self.proj_drop, deterministic=not train)(out)
+                return out, None
         if (
             USE_FLASH_ATTENTION
             and not ret_attn
