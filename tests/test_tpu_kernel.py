@@ -168,6 +168,38 @@ _PROBE = textwrap.dedent(
     assert res_f["r1"][32] >= res_f["r1"][0] - 0.2, res_f["r1"]
     print(f"e2e rerank_evaluate: R@1 {res_f['r1'][0]:.2f} -> "
           f"{res_f['r1'][32]:.2f} (bf16 {res_b['r1'][32]:.2f}) OK")
+
+    # (10) kv-resident fused attention (ops/attention_pallas.py) fwd + grads
+    # on compiled Mosaic at stage-1-like shapes
+    from vit_reranking_tpu.ops.attention_pallas import kv_resident_attention
+    BH, T, Tkv, D = 4, 784, 196, 64
+    qa = jnp.asarray(rng.standard_normal((BH, T, D)).astype(np.float32))
+    ka = jnp.asarray(rng.standard_normal((BH, Tkv, D)).astype(np.float32))
+    va = jnp.asarray(rng.standard_normal((BH, Tkv, D)).astype(np.float32))
+    wa = jnp.asarray(rng.standard_normal((BH, T, D)).astype(np.float32))
+    sc = 0.125
+
+    def xla_attn(q, k, v):
+        s = jnp.einsum("bld,btd->blt", q, k,
+                       preferred_element_type=jnp.float32) * sc
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("blt,btd->bld", p, v,
+                          preferred_element_type=jnp.float32)
+
+    o_k = np.asarray(jax.jit(
+        lambda q, k, v: kv_resident_attention(q, k, v, sc))(qa, ka, va))
+    o_x = np.asarray(jax.jit(xla_attn)(qa, ka, va))
+    d = np.abs(o_k - o_x).max()
+    assert d < 5e-3, d  # bf16 MXU passes on f32 inputs bound the XLA side
+    g_k = jax.jit(jax.grad(
+        lambda q, k, v: jnp.sum(kv_resident_attention(q, k, v, sc) * wa),
+        argnums=(0, 1, 2)))(qa, ka, va)
+    g_x = jax.jit(jax.grad(
+        lambda q, k, v: jnp.sum(xla_attn(q, k, v) * wa),
+        argnums=(0, 1, 2)))(qa, ka, va)
+    dg = max(float(jnp.abs(a - b).max()) for a, b in zip(g_k, g_x))
+    assert dg < 5e-2, dg
+    print(f"kv-resident attention: fwd {d:.2e}, grad {dg:.2e} OK")
     """
 )
 
