@@ -79,7 +79,10 @@ USE_FLASH_ATTENTION = False
 # (T, T_kv) probability tensor never touches HBM in either direction.
 # Applies to cls-free stages (0/1) with attn_drop == 0; rollout/ret_attn
 # keeps the materializing path (it needs the probabilities).
-USE_KV_RESIDENT_ATTENTION = False
+# CVT_KV_ATTENTION=1/0 overrides (measurement runs flip it without edits).
+import os as _os
+
+USE_KV_RESIDENT_ATTENTION = _os.environ.get("CVT_KV_ATTENTION", "0") == "1"
 
 def _block128(n: int, cap: int = 512) -> int:
     """Largest multiple of 128 <= cap dividing n (n must be a multiple of
