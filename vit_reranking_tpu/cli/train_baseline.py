@@ -70,11 +70,12 @@ def main(argv=None):
         # 82.1 -> 45.5 ms/step at bs=112 on the v5e — loss parity to 3
         # decimals for both (RESULTS.md).  TPU only: off-TPU backends
         # EMULATE bf16 (slower, not faster), so the CPU test mesh stays f32.
-        import jax
-
-        # ViT/Swin joined the default set in round 3: DeiT-S 44.2 -> 25.3
-        # ms/step (+75%), Swin-T 104.5 -> 84.1 (+24%) at bs=64/224px with
-        # bf16+narrow_sm (scripts/profile_train_step.py protocol, RESULTS.md).
+        # ViT/Swin joined the default set in round 3; measured (round 4,
+        # RESULTS.md): DeiT-S 44.5 -> 24.8 ms/step (1.79x), Swin-T 117.6 ->
+        # 83.5 (1.41x) at bs=64/224px with bf16+narrow_sm
+        # (scripts/profile_train_step.py protocol; supersedes the round-2
+        # "DeiT-S bf16 -4%, default f32" note, which measured bf16 WITHOUT
+        # the narrowed softmax).
         opt = opt.replace(
             bf16=jax.default_backend() == "tpu"
             and (
@@ -86,7 +87,7 @@ def main(argv=None):
         )
     if opt.narrow_sm is None:
         # bf16 training also narrows the attention softmax where one exists
-        # (CvT 69.8 -> 61.8 ms/step, DeiT-S 28.3 -> 25.3, Swin-T 98.8 -> 84.1;
+        # (CvT 69.8 -> 61.8 ms/step, DeiT-S 28.6 -> 24.8, Swin-T -> 83.5;
         # --no-narrow_sm opts out; inert for the CNN families)
         opt = opt.replace(narrow_sm=bool(opt.bf16))
     seed_everything(opt.seed, debug=opt.debug)

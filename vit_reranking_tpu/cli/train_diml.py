@@ -77,8 +77,6 @@ def main(argv=None):
         # ResNet-DIML (the reference's canonical train_diml arch) 84.5 ->
         # 47.2 ms/step at bs=112/224px on the v5e, loss parity (RESULTS.md).
         # TPU only: off-TPU backends EMULATE bf16, so the CPU mesh stays f32.
-        import jax
-
         opt = opt.replace(
             bf16=jax.default_backend() == "tpu"
             and opt.arch.startswith(("cvt", "resnet50", "irresnet50"))
