@@ -33,7 +33,10 @@ def main():
     ap.add_argument("--seq_length", type=int, default=1)
     ap.add_argument("--trunc", type=int, default=100)
     ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--arch", default="resnet50_normalize")
+    # needs an arch whose dense token map lives in EMBED space (head_tokens:
+    # ViT/CvT/Swin) — the featvit rerank contracts centers against the bank
+    # over the embed channels; ResNet's raw 2048-dim trunk map does not apply
+    ap.add_argument("--arch", default="vit_normalize")
     ap.add_argument("--grid", type=int, default=2)
     args = ap.parse_args()
     if args.task != "im2im" and args.seq_length == 1:
