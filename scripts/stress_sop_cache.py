@@ -161,18 +161,22 @@ def main():
         jnp.zeros((2, args.size, args.size, 3), jnp.float32), train=False,
     )
 
-    print("compiling one-program extraction ...", flush=True)
+    # chunk_images bounds the in-program layout copy of the pool (the full
+    # 8.5 GB pool goes resident twice otherwise — measured OOM, RESULTS.md)
+    chunk = 12096 if args.n_test % 12096 == 0 else 64 * max(args.n_test // 320, 1)
+    print(f"compiling chunked extraction (chunk {chunk}) ...", flush=True)
     t0 = time.time()
     res = extract_features_device(
         model, variables, pool_e, batch_size=64, grid_size=1,
-        uint8_input=True,
+        uint8_input=True, chunk_images=chunk,
     )
     centers = res["center"]
     np.asarray(centers[0])
     print(f"  compile+first: {time.time() - t0:.1f}s", flush=True)
     t0 = time.time()
     res = extract_features_device(
-        model, variables, pool_e, batch_size=64, grid_size=1, uint8_input=True
+        model, variables, pool_e, batch_size=64, grid_size=1,
+        uint8_input=True, chunk_images=chunk,
     )
     centers = res["center"]
     np.asarray(centers[0])

@@ -300,3 +300,39 @@ def test_cached_training_cli_e2e(tmp_path):
         "--group", "cachedev", "--save_path", str(tmp_path),
     ])
     assert 0.0 <= r <= 100.0
+
+
+def test_extract_device_chunked_parity():
+    """chunk_images bounds the in-program pool copy (SOP-scale OOM fix,
+    RESULTS.md round 4): chunked extraction must match unchunked exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vit_reranking_tpu.engine.extract import extract_features_device
+    from vit_reranking_tpu import models as archs
+
+    class _Opt:
+        embed_dim = 16
+        bf16 = False
+        narrow_sm = False
+        blk_ind = 0
+
+    model = archs.select("resnet50_normalize", _Opt())
+    import jax
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 256, (20, 32, 32, 3)), jnp.uint8)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((2, 32, 32, 3)), train=False
+    )
+    full = extract_features_device(
+        model, variables, imgs, batch_size=4, grid_size=1, uint8_input=True
+    )
+    chunked = extract_features_device(
+        model, variables, imgs, batch_size=4, grid_size=1, uint8_input=True,
+        chunk_images=8,
+    )
+    for k in full:
+        np.testing.assert_allclose(
+            np.asarray(full[k]), np.asarray(chunked[k]), atol=1e-6, err_msg=k
+        )

@@ -190,6 +190,7 @@ def extract_features_device(
     training_mode: bool = False,
     use_qk: bool = False,
     uint8_input: bool = False,
+    chunk_images: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Device-resident Phase A: embed an (N, H, W, C) device array without any
     host round-trip.
@@ -201,11 +202,36 @@ def extract_features_device(
     HBM comfortably.  The whole loop compiles to one program
     (:func:`make_extract_all_fn`); outputs are concatenated and L2-normalized
     on device (reference eval_cvt_diml.py:304-305).
+
+    ``chunk_images`` (multiple of ``batch_size``) bounds how much of the pool
+    one program touches: XLA inserts a LAYOUT COPY of the whole image operand
+    inside the compiled loop (measured at SOP-60k: the 8.5 GB uint8 pool goes
+    resident TWICE — 18.6 GB > 15.75 usable, OOM at compile;
+    test_results/stress_sop_r4.log).  Chunking keeps (pool + one chunk's
+    copy) resident instead; a handful of dispatches is still dispatch-cheap.
     """
+    N = images.shape[0]
+    if chunk_images and N > chunk_images:
+        if chunk_images % batch_size:
+            raise ValueError(
+                f"chunk_images {chunk_images} must be a multiple of "
+                f"batch_size {batch_size}"
+            )
+        parts = [
+            extract_features_device(
+                model, variables, images[s : s + chunk_images],
+                batch_size=batch_size, grid_size=grid_size,
+                use_rollout=use_rollout, training_mode=training_mode,
+                use_qk=use_qk, uint8_input=uint8_input,
+            )
+            for s in range(0, N, chunk_images)
+        ]
+        return {
+            k: jnp.concatenate([p[k] for p in parts], axis=0) for k in parts[0]
+        }
     extract_all = make_extract_all_fn(
         model, batch_size, grid_size, use_rollout, training_mode, use_qk, uint8_input
     )
-    N = images.shape[0]
     pad = (-N) % batch_size
     if pad:  # wrap-pad the tail to a whole batch; cropped below.  take()
         # handles pad > N (datasets smaller than one batch), where a plain
