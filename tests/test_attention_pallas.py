@@ -96,7 +96,11 @@ def test_gradient_parity_bf16():
         assert np.abs(a - b).max() / denom < 0.05, name
 
 
-def test_cvt_wrapper_dispatch():
+def test_cvt_wrapper_dispatch(monkeypatch):
+    import vit_reranking_tpu.ops.attention_pallas as ap
+
+    # small shapes for the test: lift the measured-on-v5e size gate
+    monkeypatch.setattr(ap, "KV_RESIDENT_MIN_SCORES", 0)
     rng = np.random.default_rng(3)
     B, H, T, Tkv, D = 2, 3, 64, 16, 64
     q = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
@@ -109,3 +113,6 @@ def test_cvt_wrapper_dispatch():
     q2 = jnp.zeros((1, 1, 197, 64), jnp.float32)
     k2 = jnp.zeros((1, 1, 50, 64), jnp.float32)
     assert cvt_attention(q2, k2, k2, 0.1, interpret=True) is None
+    # below the measured win threshold (small probability tensor) -> None
+    monkeypatch.setattr(ap, "KV_RESIDENT_MIN_SCORES", 500_000)
+    assert cvt_attention(q, k, v, 0.1, interpret=True) is None

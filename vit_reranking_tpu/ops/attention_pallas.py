@@ -180,6 +180,15 @@ def _bwd(scale, interpret, res, do):
 kv_resident_attention.defvjp(_fwd, _bwd)
 
 
+# dispatch threshold: the kernel pays per-step grid overhead and half-lane
+# (D=64) matmuls; it wins where the ELIMINATED (T, T_kv) HBM traffic is
+# large.  Measured on the v5e (bf16+narrow_sm fwd+bwd, bs=112,
+# test_results/kvres_attention_r4.log): stage 0 (3136x784 = 2.46M scores)
+# 49.1 -> 38.9 ms (-21%); stage 1 (784x196 = 154k scores) 38.5 -> 43.5 ms
+# (LOSES — the probability tensor is already small).  Gate on score count.
+KV_RESIDENT_MIN_SCORES = 500_000
+
+
 def cvt_attention(q, k, v, scale: float, interpret: bool = False):
     """(B, H, T, D) wrapper used by models/cvt.py: merges batch x heads,
     dispatches to the kv-resident kernel when the shape qualifies, returns
@@ -187,6 +196,8 @@ def cvt_attention(q, k, v, scale: float, interpret: bool = False):
     B, H, T, D = q.shape
     Tkv = k.shape[2]
     if T % 8 or D % 64 or Tkv < 8:
+        return None
+    if T * Tkv < KV_RESIDENT_MIN_SCORES:
         return None
     qm = q.reshape(B * H, T, D)
     km = k.reshape(B * H, Tkv, D)
