@@ -75,14 +75,12 @@ def main():
         old_flash = getattr(cvt_mod, "USE_FLASH_ATTENTION", None)
         old_kvres = getattr(cvt_mod, "USE_KV_RESIDENT_ATTENTION", None)
         old_attn = cvt_mod.CvTAttention
-        if name == "flash":
-            cvt_mod.USE_FLASH_ATTENTION = True
-        if name == "kvres":
-            # kv-resident fused attention (ops/attention_pallas.py): probs
-            # never touch HBM in fwd OR bwd; custom VJP
-            cvt_mod.USE_KV_RESIDENT_ATTENTION = True
-        if name == "kvres_sm":
-            cvt_mod.USE_KV_RESIDENT_ATTENTION = True
+        # force both kernel switches per case (kvres defaults ON since
+        # round 4 — non-kvres cases must measure the plain XLA path)
+        cvt_mod.USE_FLASH_ATTENTION = name == "flash"
+        # kv-resident fused attention (ops/attention_pallas.py): probs
+        # never touch HBM in fwd OR bwd; custom VJP
+        cvt_mod.USE_KV_RESIDENT_ATTENTION = name in ("kvres", "kvres_sm")
         if name == "noattn":
             import flax.linen as nn
             from vit_reranking_tpu.models.common import trunc_normal_init

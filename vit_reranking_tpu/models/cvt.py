@@ -78,11 +78,16 @@ USE_FLASH_ATTENTION = False
 # with plain softmax and a custom VJP that accumulates dK/dV in VMEM — the
 # (T, T_kv) probability tensor never touches HBM in either direction.
 # Applies to cls-free stages (0/1) with attn_drop == 0; rollout/ret_attn
-# keeps the materializing path (it needs the probabilities).
+# keeps the materializing path (it needs the probabilities).  ON by default
+# since round 4: cvt_attention itself gates on probability-tensor size
+# (KV_RESIDENT_MIN_SCORES — wins stage 0 only, returns None for stage 1),
+# and the gated full train step measures 61.8 -> 58.8 ms (1903 img/s) with
+# fwd 5e-5 / grad 2.4e-4 parity vs the XLA softmax path
+# (test_results/kvres_attention_r4.log, tpu_mosaic_tests_r4.log).
 # CVT_KV_ATTENTION=1/0 overrides (measurement runs flip it without edits).
 import os as _os
 
-USE_KV_RESIDENT_ATTENTION = _os.environ.get("CVT_KV_ATTENTION", "0") == "1"
+USE_KV_RESIDENT_ATTENTION = _os.environ.get("CVT_KV_ATTENTION", "1") == "1"
 
 def _block128(n: int, cap: int = 512) -> int:
     """Largest multiple of 128 <= cap dividing n (n must be a multiple of
