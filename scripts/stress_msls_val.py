@@ -83,25 +83,51 @@ def main():
         print(f"  {k}: {v:.4f}")
 
     # ---- host-loop oracle: per-batch jitted embed, numpy ranking ----------
+    # The per-forward FRAME GEOMETRY must mirror the device path exactly
+    # (msls_val._chunk_geometry): on TPU the compiled matmul tiling depends
+    # on the batch shape, so embedding 64 keys x L frames as one (64*L,)
+    # dispatch instead of the device path's (batch,)-frame slices produces
+    # ~1e-3-level embedding differences that flip near-tied ranks on random
+    # data (observed: seq2seq R@10 |d|=0.005 before this mirror; im2im was
+    # bit-exact because both paths already used (batch,)-frame forwards).
     print("host-loop oracle (same math, per-batch dispatch)...", flush=True)
     t0 = time.time()
+    from vit_reranking_tpu.engine.msls_val import _chunk_geometry
+
     em = jax.jit(lambda v, x: extract(v, x)[0])
 
     def embed_names(names):
+        first = ds._load_key(names[0])
+        L = first.shape[0] if first.ndim == 4 else 1
+        keys_per_chunk, chunk_frames = _chunk_geometry(
+            len(names), L, args.batch
+        )
         outs = []
-        for s in range(0, len(names), args.batch):
-            chunk = names[s : s + args.batch]
+        for s in range(0, len(names), keys_per_chunk):
             frames = []
-            for key in chunk:
+            for key in names[s : s + keys_per_chunk]:
                 arr = ds._load_key(key)  # (L, H, W, 3) or (H, W, 3)
                 frames.append(arr if arr.ndim == 4 else arr[None])
             flat = np.concatenate(frames, 0)
-            e = np.asarray(em(variables, jnp.asarray(flat)))
-            L = frames[0].shape[0]
-            if L > 1:
-                e = ds.aggregate_seq(e, L)
+            m = flat.shape[0]
+            if m < chunk_frames:
+                flat = np.concatenate(
+                    [flat, np.zeros((chunk_frames - m, *flat.shape[1:]),
+                                    flat.dtype)]
+                )
+            # per-batch dispatch at the device path's slice boundaries
+            e = np.concatenate(
+                [
+                    np.asarray(em(variables, jnp.asarray(
+                        flat[b : b + args.batch]
+                    )))
+                    for b in range(0, chunk_frames, args.batch)
+                ],
+                0,
+            )[:m]
             outs.append(e)
-        return np.concatenate(outs, 0)
+        e = np.concatenate(outs, 0)
+        return ds.aggregate_seq(e, L) if L > 1 else e
 
     qF = embed_names(list(ds.qImages))
     dbF = embed_names(list(ds.dbImages))

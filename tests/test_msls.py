@@ -282,6 +282,49 @@ def test_train_msls_seq2seq_smoke():
         assert 0.0 <= r5 <= 1.0
 
 
+def test_seq_embed_names_matches_per_key_oracle():
+    """_embed_names sequence parity vs a per-key host oracle (VERDICT r3
+    item 8's suite-level assertion): for every key, embedding its L frames
+    directly and aggregating must equal the super-chunked device path —
+    across a geometry where keys_per_chunk*L is NOT a multiple of batch
+    (85 keys * 3 frames = 255, padded to chunk_frames=256), so chunk
+    padding, frame-order alignment, and crop are all exercised.  On the CPU
+    mesh this is bit-exact; on TPU only the per-forward batch shape
+    perturbs numerics (see scripts/stress_msls_val.py's geometry-mirroring
+    oracle and test_results/stress_msls_r4.log)."""
+    from vit_reranking_tpu.data.msls import MSLS
+    from vit_reranking_tpu.engine.msls_val import _chunk_geometry, _embed_names
+
+    ds = SyntheticMSLS(
+        n_queries=20, n_db=100, nNeg=2, image_size=32, seed=3,
+        task="seq2seq", seq_length=3,
+    )
+    emb = oracle_embed(ds)
+
+    def extract(imgs):
+        c = emb(imgs)
+        return c, c[:, :, None] * jnp.ones((1, 1, 4), jnp.float32)
+
+    names = list(ds.dbImages)
+    kpc, cf = _chunk_geometry(len(names), 3, 8)
+    assert (kpc * 3) % 8 != 0, "geometry must cross batch boundaries"
+    assert len(names) > kpc, "need >1 chunk to exercise the chunk loop"
+
+    centers, dense = _embed_names(ds, names, extract, batch=8)
+
+    # per-key oracle: L frames embedded directly, aggregated; dense from the
+    # center frame (the engine's documented seq semantics)
+    for i, key in enumerate(names[:: max(len(names) // 17, 1)]):
+        frames = ds.load_image_array(key)  # (L, H, W, 3)
+        c, d = extract(jnp.asarray(frames))
+        want_center = MSLS.aggregate_seq(np.asarray(c), frames.shape[0])[0]
+        j = i * max(len(names) // 17, 1)
+        np.testing.assert_allclose(centers[j], want_center, atol=1e-6)
+        np.testing.assert_allclose(
+            dense[j], np.asarray(d)[frames.shape[0] // 2], atol=1e-6
+        )
+
+
 def test_msls_val_variables_contract(msls):
     """The runtime-parameters contract: extract_fn(variables, images) with
     ``variables=`` must give the same recalls as the closure contract, and

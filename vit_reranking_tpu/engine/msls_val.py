@@ -62,6 +62,28 @@ def _make_pool_extract(extract_fn, batch: int, with_vars: bool):
     return run
 
 
+def _chunk_geometry(n_names: int, L: int, batch: int) -> Tuple[int, int]:
+    """(keys_per_chunk, chunk_frames) for the super-chunk layout below.
+
+    Exposed so oracles can mirror the EXACT per-forward frame geometry:
+    sequence chunks hold keys_per_chunk*L frames zero-padded to chunk_frames,
+    so the (batch,)-sized forwards inside one chunk program slice frames at
+    chunk-relative offsets.  A host loop that batches frames with any OTHER
+    geometry sees ULP-level embedding differences on TPU (batch-shape-
+    dependent matmul tiling), which flip near-tied ranks — parity checks
+    must reproduce this layout (scripts/stress_msls_val.py does)."""
+    n_flat = n_names * L
+    n_batches = -(-n_flat // batch)
+    nb_chunk = min(_CHUNK_BATCHES, n_batches)
+    chunk_frames = nb_chunk * batch
+    if L > chunk_frames:
+        # one key's frames must fit a single chunk (the pad below only
+        # rounds UP to chunk_frames): widen the chunk to the next batch
+        # multiple of L
+        chunk_frames = -(-L // batch) * batch
+    return max(chunk_frames // L, 1), chunk_frames
+
+
 def _embed_names(eval_set, names, extract_fn, batch=16, variables=None):
     """Load keys by name via the dataset and embed them through compiled
     super-chunks.  extract_fn(images) -> (centers (B, D), dense (B, C, R) or
@@ -88,16 +110,7 @@ def _embed_names(eval_set, names, extract_fn, batch=16, variables=None):
     first = eval_set.load_image_array(names[0])
     seq = first.ndim == 4
     L = first.shape[0] if seq else 1
-    n_flat = len(names) * L
-    n_batches = -(-n_flat // batch)
-    nb_chunk = min(_CHUNK_BATCHES, n_batches)
-    chunk_frames = nb_chunk * batch
-    if L > chunk_frames:
-        # one key's frames must fit a single chunk (the pad below only
-        # rounds UP to chunk_frames): widen the chunk to the next batch
-        # multiple of L
-        chunk_frames = -(-L // batch) * batch
-    keys_per_chunk = max(chunk_frames // L, 1)
+    keys_per_chunk, chunk_frames = _chunk_geometry(len(names), L, batch)
 
     c_parts, d_parts = [], []
     for s in range(0, len(names), keys_per_chunk):
