@@ -59,6 +59,20 @@ def window_reverse(wins, window, H, W):
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H, W, -1)
 
 
+# Window-resident fused attention (ops/swin_attention_pallas.py): packs many
+# independent 49-token window attentions per grid step; the (.., T, T)
+# score/probability tensor (lane-padded 49 -> 128 by XLA, ~2.6x inflation)
+# never touches HBM in either direction; the relative-position-bias gradient
+# is emitted in-kernel.  Applies off the ret_attn path (Swin has no
+# attention-probability consumer) for stages with >= 4 windows (stage 3's
+# global attention stays on XLA — grid overhead dominates at nW=1).
+# SWIN_WINDOW_ATTENTION=1/0 overrides (measurement runs flip it without
+# edits).
+import os as _os
+
+USE_SWIN_WINDOW_KERNEL = _os.environ.get("SWIN_WINDOW_ATTENTION", "0") == "1"
+
+
 class WindowAttention(nn.Module):
     dim: int
     num_heads: int
@@ -75,12 +89,31 @@ class WindowAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, train: bool = False):
+    def __call__(self, x, mask=None, train: bool = False, n_windows: int = 1):
         Bw, T, C = x.shape
         hd = self.dim // self.num_heads
         qkv = nn.Dense(self.dim * 3, use_bias=True, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(Bw, T, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
+
+        table = self.param(
+            "relative_position_bias_table",
+            trunc_normal_init(),
+            ((2 * self.window - 1) ** 2, self.num_heads),
+        )
+        idx = jnp.asarray(_relative_position_index(self.window))
+        bias = table[idx.reshape(-1)].reshape(T, T, self.num_heads)
+
+        if USE_SWIN_WINDOW_KERNEL and jax.default_backend() == "tpu":
+            from ..ops.swin_attention_pallas import swin_attention
+
+            out = swin_attention(
+                q, k, v, bias.transpose(2, 0, 1), mask, hd**-0.5,
+                n_windows=n_windows,
+            )
+            if out is not None:
+                out = out.transpose(0, 2, 1, 3).reshape(Bw, T, self.dim)
+                return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
         narrow = self.narrow_sm and self.dtype != jnp.float32
         attn = (
@@ -90,13 +123,6 @@ class WindowAttention(nn.Module):
             )
             * hd**-0.5
         )
-        table = self.param(
-            "relative_position_bias_table",
-            trunc_normal_init(),
-            ((2 * self.window - 1) ** 2, self.num_heads),
-        )
-        idx = jnp.asarray(_relative_position_index(self.window))
-        bias = table[idx.reshape(-1)].reshape(T, T, self.num_heads)
         attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
         if mask is not None:
             nW = mask.shape[0]
@@ -139,7 +165,7 @@ class SwinBlock(nn.Module):
         wins = WindowAttention(
             self.dim, self.num_heads, window, narrow_sm=self.narrow_sm,
             dtype=self.dtype, name="attn"
-        )(wins, mask, train)
+        )(wins, mask, train, n_windows=(H // window) * (W // window))
         y = window_reverse(wins, window, H, W)
         if shift > 0:
             y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))
