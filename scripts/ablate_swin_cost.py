@@ -19,6 +19,10 @@ canonical shapes; garbage math is fine, the point is isolating cost:
            isolates the 25 f32 LN + astype round trips
   kernel   window-resident fused attention (ops/swin_attention_pallas.py):
            probs stay in VMEM, bias grad emitted in-kernel
+  qslice   XLA layout reformulation: q/k/v as (Bw, T, h, hd) slices of the
+           qkv tensor (no 5D transpose), einsums 'bthd,bshd->bhts' and
+           'bhts,bshd->bthd' (no output transpose) — same math, different
+           operand layouts
 
 Usage: python scripts/ablate_swin_cost.py [--bs 64] [--cases base nopart ...]
 """
@@ -143,6 +147,42 @@ def main():
                 return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
             swin_mod.WindowAttention.__call__ = nn.compact(attn_skip)
+        elif name == "qslice":
+
+            def attn_qslice(self, xx, mask=None, train=False, n_windows=1):
+                from vit_reranking_tpu.models.common import trunc_normal_init
+
+                Bw, T, C = xx.shape
+                hd = self.dim // self.num_heads
+                qkv = nn.Dense(self.dim * 3, use_bias=True, dtype=self.dtype,
+                               name="qkv")(xx)
+                qkv = qkv.reshape(Bw, T, 3, self.num_heads, hd)
+                q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+                narrow = self.narrow_sm and self.dtype != jnp.float32
+                attn = jnp.einsum(
+                    "bthd,bshd->bhts", q, k,
+                    preferred_element_type=None if narrow else jnp.float32,
+                ) * hd**-0.5
+                # constant table: self.param is rejected in late-bound
+                # methods; gather+transpose+add cost is identical, only the
+                # tiny (169, h) table grad disappears
+                table = jnp.ones(
+                    ((2 * self.window - 1) ** 2, self.num_heads), jnp.float32
+                )
+                idx = jnp.asarray(swin_mod._relative_position_index(self.window))
+                bias = table[idx.reshape(-1)].reshape(T, T, self.num_heads)
+                attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
+                if mask is not None:
+                    nW = mask.shape[0]
+                    attn = attn.reshape(Bw // nW, nW, self.num_heads, T, T)
+                    attn = attn + mask[None, :, None, :, :].astype(attn.dtype)
+                    attn = attn.reshape(Bw, self.num_heads, T, T)
+                attn = jax.nn.softmax(attn, axis=-1)
+                out = jnp.einsum("bhts,bshd->bthd", attn.astype(v.dtype), v)
+                out = out.reshape(Bw, T, self.dim)
+                return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+            swin_mod.WindowAttention.__call__ = nn.compact(attn_qslice)
         elif name == "bf16ln":
             _ln = orig["ln_call"]
 
