@@ -127,6 +127,14 @@ def main():
         print(f"achieved: {flops/t_step/1e12:.1f} TFLOP/s "
               f"(v5e bf16 peak ~197 TFLOP/s -> MFU {flops/t_step/197e12*100:.1f}%)",
               flush=True)
+        # bytes accessed -> memory-roofline side of the picture (v5e HBM
+        # ~819 GB/s peak; ~634 GB/s measured on a fused reduce, RESULTS.md)
+        byt = float(ca.get("bytes accessed", 0.0))
+        if byt:
+            print(f"XLA cost_analysis bytes/step: {byt/1e9:.2f} GB -> "
+                  f"{byt/t_step/1e9:.0f} GB/s achieved "
+                  f"({byt/t_step/819e9*100:.0f}% of 819 GB/s peak)",
+                  flush=True)
     except Exception as e:  # cost_analysis availability varies by backend
         print("cost_analysis unavailable:", e)
 

@@ -200,6 +200,37 @@ _PROBE = textwrap.dedent(
     dg = max(float(jnp.abs(a - b).max()) for a, b in zip(g_k, g_x))
     assert dg < 5e-2, dg
     print(f"kv-resident attention: fwd {d:.2e}, grad {dg:.2e} OK")
+
+    # (11) Swin window-resident attention (ops/swin_attention_pallas.py):
+    # both variants compile on Mosaic and match XLA (they ship default-off
+    # as a measured negative — this guards them against bit-rot)
+    from vit_reranking_tpu.ops.swin_attention_pallas import (
+        swin_window_attention, swin_window_attention_packed)
+    Gs, nWs, Ts, Ds, Hs = 6, 16, 49, 32, 3
+    qs = jnp.asarray(rng.standard_normal((Gs, nWs, Ts, Ds)).astype(np.float32))
+    ks = jnp.asarray(rng.standard_normal((Gs, nWs, Ts, Ds)).astype(np.float32))
+    vs = jnp.asarray(rng.standard_normal((Gs, nWs, Ts, Ds)).astype(np.float32))
+    bs_ = jnp.asarray(rng.standard_normal((Hs, Ts, Ts)).astype(np.float32))
+    mreg = rng.integers(0, 2, size=(nWs, Ts, 1))
+    ms = jnp.asarray(np.where(
+        mreg == mreg.transpose(0, 2, 1), 0.0, -100.0).astype(np.float32))
+
+    def xla_swin(q, k, v):
+        s = jnp.einsum("gwtd,gwsd->gwts", q, k,
+                       preferred_element_type=jnp.float32) * sc
+        s = s + jnp.repeat(bs_, Gs // Hs, axis=0)[:, None] + ms[None]
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("gwts,gwsd->gwtd", p, v,
+                          preferred_element_type=jnp.float32)
+
+    o_ref = np.asarray(jax.jit(xla_swin)(qs, ks, vs))
+    for nm, fn in (("batched", swin_window_attention),
+                   ("packed", swin_window_attention_packed)):
+        o_sw = np.asarray(jax.jit(
+            lambda q, k, v: fn(q, k, v, bs_, ms, sc))(qs, ks, vs))
+        dsw = np.abs(o_sw - o_ref).max()
+        assert dsw < 5e-3, (nm, dsw)
+        print(f"swin window attention [{nm}]: fwd {dsw:.2e} OK")
     """
 )
 
