@@ -336,3 +336,67 @@ def test_extract_device_chunked_parity():
         np.testing.assert_allclose(
             np.asarray(full[k]), np.asarray(chunked[k]), atol=1e-6, err_msg=k
         )
+
+
+def test_auto_chunk_images_bounds():
+    """auto_chunk_images derives a bounded, batch-multiple chunk when the
+    pool's layout copy would blow the budget (VERDICT r4 item 2), and 0
+    (= single program) when it fits."""
+    import jax.numpy as jnp
+
+    from vit_reranking_tpu.engine.extract import (
+        _CHUNK_BUDGET_FRACTION,
+        auto_chunk_images,
+    )
+
+    imgs = jnp.zeros((1000, 32, 32, 3), jnp.uint8)  # 3072 B/image, ~2.9 MB
+    # Budget so that only ~100 images' copy fits the allowed fraction.
+    per = 32 * 32 * 3
+    budget = int(100 * per / _CHUNK_BUDGET_FRACTION)
+    chunk = auto_chunk_images(imgs, batch_size=32, memory_budget_bytes=budget)
+    assert 0 < chunk < 1000
+    assert chunk % 32 == 0
+    assert chunk * per <= budget * _CHUNK_BUDGET_FRACTION + per
+    # Whole pool fits: no chunking.
+    assert auto_chunk_images(imgs, 32, memory_budget_bytes=10 * imgs.nbytes) == 0
+    # Unknown budget (CPU): no chunking.
+    assert auto_chunk_images(imgs, 32, memory_budget_bytes=0) == 0
+    # Tiny budget still returns at least one batch, never 0-divide.
+    assert auto_chunk_images(imgs, 32, memory_budget_bytes=1) == 32
+
+
+def test_extract_device_auto_chunk_parity():
+    """chunk_images=None auto-chunks from the (injected) memory budget and
+    matches the explicit single-program path bit-exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vit_reranking_tpu.engine.extract import extract_features_device
+    from vit_reranking_tpu import models as archs
+
+    class _Opt:
+        embed_dim = 16
+        bf16 = False
+        narrow_sm = False
+        blk_ind = 0
+
+    model = archs.select("resnet50_normalize", _Opt())
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.integers(0, 256, (24, 32, 32, 3)), jnp.uint8)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((2, 32, 32, 3)), train=False
+    )
+    full = extract_features_device(
+        model, variables, imgs, batch_size=4, grid_size=1, uint8_input=True,
+        chunk_images=0,
+    )
+    per = 32 * 32 * 3
+    auto = extract_features_device(
+        model, variables, imgs, batch_size=4, grid_size=1, uint8_input=True,
+        memory_budget_bytes=per * 10,  # forces a bounded auto chunk
+    )
+    for k in full:
+        np.testing.assert_allclose(
+            np.asarray(full[k]), np.asarray(auto[k]), atol=1e-6, err_msg=k
+        )

@@ -180,6 +180,71 @@ def extract_features(
     return out
 
 
+# Fraction of the free device memory the one-program extraction may spend on
+# XLA's whole-operand layout copy (see extract_features_device docstring).
+# Conservative: leaves headroom for activations, the output bank, and the
+# fragmentation slack the TPU allocator needs at SOP scale.
+_CHUNK_BUDGET_FRACTION = 0.45
+
+
+# Usable HBM per chip when memory_stats() is unavailable (the axon remote
+# runtime returns None for it).  v5e carries 16 GiB; ~15.75 GB is allocatable
+# in practice (measured: 18.65 GB layout failed against a 15.75 GB limit,
+# test_results/stress_sop_r4.log).  Override with VITRR_HBM_BYTES.
+_FALLBACK_HBM_BYTES = {"tpu": int(15.75 * 2**30)}
+
+
+def _device_free_bytes(arr) -> Optional[int]:
+    """Free HBM on the device holding ``arr`` (None when unknown, e.g. CPU).
+
+    When the runtime exposes no memory_stats (axon), falls back to the
+    device-kind HBM size minus the pool itself — the pool is by far the
+    dominant resident at the scales where chunking matters."""
+    import os
+
+    try:
+        devs = list(arr.devices()) if hasattr(arr, "devices") else []
+        dev = devs[0] if devs else jax.devices()[0]
+        stats = dev.memory_stats()
+        if stats and "bytes_limit" in stats:
+            return max(
+                0, int(stats["bytes_limit"]) - int(stats.get("bytes_in_use", 0))
+            )
+        env = os.environ.get("VITRR_HBM_BYTES")
+        total = int(env) if env else _FALLBACK_HBM_BYTES.get(dev.platform)
+        if total:
+            return max(0, total - int(getattr(arr, "nbytes", 0)))
+    except Exception:
+        return None
+    return None
+
+
+def auto_chunk_images(
+    images, batch_size: int, memory_budget_bytes: Optional[int] = None
+) -> int:
+    """Pick a ``chunk_images`` bound for :func:`extract_features_device`.
+
+    Returns 0 (= do not chunk) when the whole pool's layout copy fits the
+    budget or the budget is unknown; otherwise the largest batch-multiple
+    whose operand copy stays under ``_CHUNK_BUDGET_FRACTION`` of free HBM.
+    Exists so product call sites (cli/train_baseline.py, cli/train_diml.py,
+    cli/test_diml.py) survive SOP scale without knowing about XLA's
+    double-layout trap (test_results/stress_sop_r4.log)."""
+    N = int(images.shape[0])
+    if N <= batch_size:
+        return 0
+    budget = memory_budget_bytes
+    if budget is None:
+        budget = _device_free_bytes(images)
+    if not budget:
+        return 0
+    bytes_per_image = int(np.prod(images.shape[1:])) * images.dtype.itemsize
+    allowed = int(budget * _CHUNK_BUDGET_FRACTION)
+    chunk = (allowed // max(bytes_per_image, 1)) // batch_size * batch_size
+    chunk = max(chunk, batch_size)
+    return 0 if chunk >= N else chunk
+
+
 def extract_features_device(
     model,
     variables,
@@ -191,6 +256,7 @@ def extract_features_device(
     use_qk: bool = False,
     uint8_input: bool = False,
     chunk_images: Optional[int] = None,
+    memory_budget_bytes: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Device-resident Phase A: embed an (N, H, W, C) device array without any
     host round-trip.
@@ -209,8 +275,16 @@ def extract_features_device(
     resident TWICE — 18.6 GB > 15.75 usable, OOM at compile;
     test_results/stress_sop_r4.log).  Chunking keeps (pool + one chunk's
     copy) resident instead; a handful of dispatches is still dispatch-cheap.
+
+    ``chunk_images=None`` (default) AUTO-derives the bound from pool bytes vs
+    free device memory (:func:`auto_chunk_images`) — a no-op on small pools,
+    a bounded chunk at SOP scale.  Pass ``chunk_images=0`` to force the
+    single-program path, or ``memory_budget_bytes`` to override the measured
+    free-memory budget (used by tests).
     """
     N = images.shape[0]
+    if chunk_images is None:
+        chunk_images = auto_chunk_images(images, batch_size, memory_budget_bytes)
     if chunk_images and N > chunk_images:
         if chunk_images % batch_size:
             raise ValueError(
@@ -222,7 +296,7 @@ def extract_features_device(
                 model, variables, images[s : s + chunk_images],
                 batch_size=batch_size, grid_size=grid_size,
                 use_rollout=use_rollout, training_mode=training_mode,
-                use_qk=use_qk, uint8_input=uint8_input,
+                use_qk=use_qk, uint8_input=uint8_input, chunk_images=0,
             )
             for s in range(0, N, chunk_images)
         ]
