@@ -161,6 +161,35 @@ def test_wrapper_layout_and_dispatch():
                           n_windows=1, interpret=True) is None
 
 
+def test_model_flat_proj_parity(monkeypatch):
+    """SwinNetwork with SWIN_FLAT_PROJ=1 (qkv/proj Denses on the unpadded
+    flat (B, L, C) rows, window partition/reverse moved onto the qkv/output
+    tensors) matches the windowed default — per-token Denses commute with the
+    roll/partition permutations.  Shifted blocks included (the mask geometry
+    must line up after the move)."""
+    import vit_reranking_tpu.models.swin as swin_mod
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 56, 56, 3)), jnp.float32)
+    model = swin_mod.SwinNetwork(embed_dim=32, dim=24, depths=(2, 2),
+                                 num_heads=(3, 6), drop_path_rate=0.0)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    ref = model.apply(v, x, train=False)[0]
+
+    monkeypatch.setattr(swin_mod, "USE_SWIN_FLAT_PROJ", True)
+    ours = model.apply(v, x, train=False)[0]
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+    # parameter tree is unchanged (same init works for both paths)
+    g_ref = jax.grad(lambda p: jnp.sum(
+        model.apply({"params": p}, x, train=False)[0] ** 2))(v["params"])
+    monkeypatch.setattr(swin_mod, "USE_SWIN_FLAT_PROJ", False)
+    g_base = jax.grad(lambda p: jnp.sum(
+        model.apply({"params": p}, x, train=False)[0] ** 2))(v["params"])
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_base)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 def test_model_kernel_parity(monkeypatch):
     """SwinNetwork forward with the kernel forced on (interpret) matches the
     XLA path — full model, shifted blocks included."""

@@ -72,6 +72,18 @@ import os as _os
 
 USE_SWIN_WINDOW_KERNEL = _os.environ.get("SWIN_WINDOW_ATTENTION", "0") == "1"
 
+# flat_proj: run the qkv/proj Denses in FLAT (B, L, C) token space instead of
+# the windowed (B*nW, 49, C) layout.  The window row count T=49 is not a
+# sublane multiple (bf16 tiles are (16, 128)), so windowed matmul operands
+# carry a 49 -> 64 pad (+30% rows) or a relayout before every qkv/proj matmul
+# x 12 blocks x fwd+bwd; rolls and window partition are token PERMUTATIONS,
+# so they commute with per-token Denses bit-exactly and the projections can
+# run on the unpadded flat layout (L = 3136/784/196/49, all 8-multiples).
+# Parameter tree is unchanged (qkv/proj stay inside WindowAttention).
+# SWIN_FLAT_PROJ=1 opts in (measurement A/B in scripts/profile_swin_stages.py;
+# default follows the measured verdict).
+USE_SWIN_FLAT_PROJ = _os.environ.get("SWIN_FLAT_PROJ", "0") == "1"
+
 
 class WindowAttention(nn.Module):
     dim: int
@@ -87,12 +99,30 @@ class WindowAttention(nn.Module):
     # models/cvt.py's `and not ret_attn` gate (see models/vit.py).
     narrow_sm: bool = False
     dtype: Any = jnp.float32
+    # flat_proj: caller passes the PRE-ROLLED spatial tensor (B, H, W, C) and
+    # gets back (B, H, W, C); qkv/proj Denses run on the flat (B, H*W, C)
+    # layout (no 49-row sublane pad), the window partition/reverse moves the
+    # qkv tensor / attention output instead (see USE_SWIN_FLAT_PROJ).
+    flat_proj: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False, n_windows: int = 1):
-        Bw, T, C = x.shape
+        if self.flat_proj:
+            B, H, W, C = x.shape
         hd = self.dim // self.num_heads
-        qkv = nn.Dense(self.dim * 3, use_bias=True, dtype=self.dtype, name="qkv")(x)
+        if self.flat_proj:
+            # per-token Dense commutes with the roll/partition permutations
+            # bit-exactly; run it on the unpadded flat rows
+            qkv = nn.Dense(
+                self.dim * 3, use_bias=True, dtype=self.dtype, name="qkv"
+            )(x.reshape(B, H * W, C))
+            qkv = window_partition(qkv.reshape(B, H, W, 3 * self.dim), self.window)
+            Bw, T, _ = qkv.shape
+        else:
+            Bw, T, C = x.shape
+            qkv = nn.Dense(
+                self.dim * 3, use_bias=True, dtype=self.dtype, name="qkv"
+            )(x)
         qkv = qkv.reshape(Bw, T, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
@@ -132,6 +162,10 @@ class WindowAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhts,bhsd->bhtd", attn.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(Bw, T, self.dim)
+        if self.flat_proj:
+            out = window_reverse(out, self.window, H, W).reshape(B, H * W, C)
+            out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+            return out.reshape(B, H, W, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
@@ -161,12 +195,19 @@ class SwinBlock(nn.Module):
             mask = jnp.asarray(_shift_attn_mask(H, W, window, shift))
         else:
             mask = None
-        wins = window_partition(y, window)
-        wins = WindowAttention(
-            self.dim, self.num_heads, window, narrow_sm=self.narrow_sm,
-            dtype=self.dtype, name="attn"
-        )(wins, mask, train, n_windows=(H // window) * (W // window))
-        y = window_reverse(wins, window, H, W)
+        flat_proj = USE_SWIN_FLAT_PROJ and not USE_SWIN_WINDOW_KERNEL
+        if flat_proj:
+            y = WindowAttention(
+                self.dim, self.num_heads, window, narrow_sm=self.narrow_sm,
+                dtype=self.dtype, flat_proj=True, name="attn"
+            )(y, mask, train, n_windows=(H // window) * (W // window))
+        else:
+            wins = window_partition(y, window)
+            wins = WindowAttention(
+                self.dim, self.num_heads, window, narrow_sm=self.narrow_sm,
+                dtype=self.dtype, name="attn"
+            )(wins, mask, train, n_windows=(H // window) * (W // window))
+            y = window_reverse(wins, window, H, W)
         if shift > 0:
             y = jnp.roll(y, shift=(shift, shift), axis=(1, 2))
         x = res + DropPath(self.drop_path, name="dp1")(y.reshape(B, L, C), train)
