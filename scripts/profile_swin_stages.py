@@ -323,6 +323,16 @@ def main():
             print(f"!! part {tag} failed:", flush=True)
             traceback.print_exc()
 
+    if "remat" in args.parts:
+        def _remat():
+            print("=== remat A/B (full backbone fwd+bwd) ===", flush=True)
+            for mode, label in (("0", "base (no remat)"),
+                                ("dots", "remat dots_no_batch_saveable"),
+                                ("1", "remat full (inputs only)")):
+                sm.SWIN_REMAT = mode
+                run_full_case(args, x, key, label)
+            sm.SWIN_REMAT = "0"
+        guarded("remat", _remat)
     if "flat" in args.parts:
         def _flat():
             print("=== flat-proj A/B (full backbone fwd+bwd) ===", flush=True)

@@ -34,7 +34,12 @@ from ..losses.msls import (
     supcon_loss,
     xbm_triplet_loss,
 )
-from .common import load_pretrained_into, seed_everything
+from .common import (
+    load_pretrained_into,
+    maybe_msls_subcache_checkpoint,
+    resume_msls_state,
+    seed_everything,
+)
 
 
 class XBM:
@@ -280,11 +285,36 @@ def main(argv=None):
     it_count = 0
     prev_drift_feat = None
     drift_idx = 0  # per-subcache snapshot index (it_count can stall on tiny subcaches)
-    for epoch in range(opt.start_epoch, opt.n_epochs):
-        train_set.new_epoch()
+
+    # mid-epoch preemption resume (VERDICT r4 item 6): restore model +
+    # optimizer + subcache-mining state from a subcache-boundary checkpoint
+    # (see cli/common.py::maybe_msls_subcache_checkpoint) and continue at the
+    # NEXT subcache with bit-identical mining
+    start_epoch, resume_epoch, resume_sub, mining_restored = (
+        opt.start_epoch, None, 0, None
+    )
+    if opt.resume_path:
+        (variables, opt_state, it_count, resume_epoch, resume_sub,
+         mining_restored) = resume_msls_state(
+            opt.resume_path, variables, opt_state
+        )
+        start_epoch = resume_epoch
+        print(
+            f"[train_msls] resumed {opt.resume_path} (epoch {resume_epoch}, "
+            f"subcache {resume_sub}, it {it_count}, "
+            f"mining={'yes' if mining_restored is not None else 'no'})"
+        )
+
+    for epoch in range(start_epoch, opt.n_epochs):
+        if mining_restored is not None and epoch == resume_epoch:
+            train_set.set_mining_state(mining_restored)
+            start_sub, mining_restored = resume_sub, None
+        else:
+            train_set.new_epoch()
+            start_sub = 0
         epoch_losses = []
         t0 = time.time()
-        for sub in range(train_set.nCacheSubset):
+        for sub in range(start_sub, train_set.nCacheSubset):
             # mining with the CURRENT model (train_epoch.py:85); the forward
             # is jitted ONCE (module-level cache keyed on the model) and the
             # current params flow in as arguments — _embed_paths feeds it
@@ -422,12 +452,22 @@ def main(argv=None):
                         + [[i for m in metas for i in m[2:]]]
                     ).astype(np.int64)
                     xbm.enqueue(emb_np[nq:], db_idx)
+            # subcache boundary: the only point where model/optimizer and the
+            # mining RNG/cursor are mutually consistent — preemption-safe save
+            maybe_msls_subcache_checkpoint(
+                opt, logger.run_dir, variables, opt_state, it_count, epoch,
+                train_set,
+            )
         epoch_losses = [float(x) for x in epoch_losses]
-        print(
-            f"epoch {epoch}: loss={np.mean(epoch_losses):.4f} "
-            f"({len(epoch_losses)} steps, {time.time()-t0:.1f}s)"
-        )
-        logger.log("Train", {"loss": float(np.mean(epoch_losses))}, epoch)
+        if epoch_losses:
+            print(
+                f"epoch {epoch}: loss={np.mean(epoch_losses):.4f} "
+                f"({len(epoch_losses)} steps, {time.time()-t0:.1f}s)"
+            )
+            logger.log("Train", {"loss": float(np.mean(epoch_losses))}, epoch)
+        else:
+            # resume landed past this epoch's final subcache: nothing to train
+            print(f"epoch {epoch}: resumed past final subcache (0 steps)")
 
         if epoch % opt.evalevery == 0 or epoch == opt.n_epochs - 1:
             extract = make_extract_fn(model, with_dense=False)
@@ -436,7 +476,14 @@ def main(argv=None):
             )
             logger.log("Test", recalls, epoch)
             print(f"  val: " + ", ".join(f"{k}={v:.3f}" for k, v in recalls.items()))
-            save_checkpoint(f"{logger.run_dir}/latest", variables, recalls)
+            # with step-checkpointing on, keep `latest` the RICH consistent
+            # tree (model + optimizer + mining) instead of clobbering the
+            # subcache-boundary save with a model-only one
+            if not maybe_msls_subcache_checkpoint(
+                opt, logger.run_dir, variables, opt_state, it_count, epoch,
+                train_set, metrics=recalls,
+            ):
+                save_checkpoint(f"{logger.run_dir}/latest", variables, recalls)
             r5 = recalls.get("globalR_5", 0.0)
             if r5 > best_r5:
                 best_r5 = r5

@@ -220,6 +220,13 @@ class Config:
     synthetic_classes: int = 8
     synthetic_per_class: int = 16
     synthetic_size: int = 224
+    # class-prototype separation / pixel-noise amplitude for the synthetic
+    # dataset.  sep=1.0 = legacy saturating protocol; sep<1 shrinks classes
+    # toward a shared prototype + adds a gain/shift nuisance so retrieval
+    # metrics land mid-range and can discriminate precision recipes
+    # (data/datasets.py::SyntheticDataset, VERDICT r4 item 3)
+    synthetic_sep: float = 1.0
+    synthetic_noise: float = 0.35
     use_qk: bool = False  # ViT attention-marginal rerank (eval_attn_diml path)
     # dormant reference variants, exposed behind flags (VERDICT r2 item 9):
     # per-head OT with max-over-heads scoring (utilities/diml.py:424-472 —

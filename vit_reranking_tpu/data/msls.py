@@ -252,6 +252,32 @@ class MSLS:
     def __len__(self):
         return len(self.triplets)
 
+    def mining_state(self) -> dict:
+        """Serializable snapshot of the subcache-mining state (VERDICT r4
+        item 6): numpy RNG stream, negative cache, this epoch's subcache
+        split, and the subset cursor.  Taken at a subcache boundary it makes
+        a preempted run resume with BIT-IDENTICAL pool selection and triplet
+        mining for every later subcache (the reference's resume surface,
+        training_tools/msls.py:399-567, restarts whole epochs and loses the
+        within-epoch stream).  Pickle-friendly (plain dict of numpy/int)."""
+        return {
+            "rng": self.rng.bit_generator.state,
+            "negCache": getattr(self, "negCache", None),
+            "subcache_indices": getattr(self, "subcache_indices", None),
+            "current_subset": int(getattr(self, "current_subset", 0)),
+            "nCacheSubset": int(getattr(self, "nCacheSubset", 0)),
+        }
+
+    def set_mining_state(self, state: dict) -> None:
+        """Inverse of :meth:`mining_state` — restore mid-epoch mining."""
+        self.rng.bit_generator.state = state["rng"]
+        if state["negCache"] is not None:
+            self.negCache = state["negCache"]
+        if state["subcache_indices"] is not None:
+            self.subcache_indices = state["subcache_indices"]
+            self.nCacheSubset = state["nCacheSubset"]
+            self.current_subset = state["current_subset"]
+
     def new_epoch(self):
         """Shuffled, weighted query subcaches (msls.py:399-414)."""
         self.nCacheSubset = math.ceil(len(self.qIdx) / self.cached_queries)

@@ -84,6 +84,34 @@ USE_SWIN_WINDOW_KERNEL = _os.environ.get("SWIN_WINDOW_ATTENTION", "0") == "1"
 # default follows the measured verdict).
 USE_SWIN_FLAT_PROJ = _os.environ.get("SWIN_FLAT_PROJ", "0") == "1"
 
+# SWIN_REMAT: rematerialize SwinBlocks in the backward pass.  The bs=64
+# fwd+bwd moves 79 GB logical at ~90% of peak HBM bandwidth while the MXU
+# sits at ~8% (test_results/profile_swin_r5.log) — the step is BYTES-bound,
+# so trading recompute FLOPs for saved-residual traffic is the natural
+# lever (the r3 CvT remat negative was measured on a compute-bound step;
+# different regime).  Values:
+#   "0"    off (save every intermediate — XLA default)
+#   "1"    full per-block remat (save only block inputs)
+#   "dots" jax.checkpoint_policies.dots_with_no_batch_dims_saveable —
+#          keep Dense/MLP matmul outputs, recompute elementwise/layout ops
+#          and the batched attention einsums (the lane-padded (…,49,49)
+#          score/prob tensors are never saved for bwd)
+# Measured A/B in scripts/profile_swin_stages.py --parts remat; the
+# training default follows the verdict.
+SWIN_REMAT = _os.environ.get("SWIN_REMAT", "0")
+
+
+def _block_cls():
+    """SwinBlock, optionally wrapped in nn.remat per SWIN_REMAT (read at
+    trace time so tests/measurement scripts can flip the module global)."""
+    if SWIN_REMAT == "0":
+        return SwinBlock
+    policy = (
+        jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        if SWIN_REMAT == "dots" else None
+    )
+    return nn.remat(SwinBlock, static_argnums=(2, 3, 4), policy=policy)
+
 
 class WindowAttention(nn.Module):
     dim: int
@@ -270,9 +298,10 @@ class SwinNetwork(nn.Module):
         dpr = np.linspace(0, self.drop_path_rate, total)
         b = 0
         dim = self.dim
+        block_cls = _block_cls()
         for li, depth in enumerate(self.depths):
             for bi in range(depth):
-                x = SwinBlock(
+                x = block_cls(
                     dim,
                     self.num_heads[li],
                     window=self.window,
