@@ -75,11 +75,11 @@ def main():
 
     # arrays are jit ARGUMENTS, not closures (axon remote-compile 413s on
     # >100 MB closure constants)
-    @functools.partial(jax.jit, static_argnums=(4,))
-    def scored_fn(fb_j, c_j, r_j, inds, iters):
+    @functools.partial(jax.jit, static_argnums=(4, 5, 6))
+    def scored_fn(fb_j, c_j, r_j, inds, iters, stream_dtype, ot_part):
         out = fused_rollout_rerank_scores(
-            fb_j, c_j, r_j, inds, ot_part=1.0, iters=iters,
-            interpret=interpret,
+            fb_j, c_j, r_j, inds, ot_part=ot_part, iters=iters,
+            interpret=interpret, stream_dtype=stream_dtype,
         )
         return jnp.sum(out)
 
@@ -89,16 +89,23 @@ def main():
         fb_j, c_j = jnp.asarray(fb), jnp.asarray(centers)
         r_j, inds = jnp.asarray(rollout), jnp.asarray(top_inds)
 
-        for iters, tag in ((100, "earlyexit100"), (12, "fixed12")):
-            if Q > 20000 and iters != 100:
-                continue
-            scored = lambda it=iters: scored_fn(fb_j, c_j, r_j, inds, it)
+        # stream_dtype sweep (VERDICT r4 item 5: the SOP-61k sustained
+        # number predated the bf16 similarity stream); bf16 is the bench.py
+        # default, f32 the bit-faithful --precise path
+        cases = [(100, "float32", 1.0, "f32 earlyexit100"),
+                 (100, "bfloat16", 1.0, "bf16 earlyexit100"),
+                 (100, "bfloat16", 0.8, "bf16 partial0.8")]
+        if Q <= 20000:
+            cases.append((12, "float32", 1.0, "f32 fixed12"))
+        for iters, sdt, part, tag in cases:
+            scored = lambda it=iters, s=sdt, p=part: scored_fn(
+                fb_j, c_j, r_j, inds, it, s, p)
             dt = timed(scored)
             pps = Q * K / dt
             dev = max(dt - rtt, 1e-9)
             print(
-                f"Q={Q:6d} {tag:13s}: {dt*1e3:7.1f} ms/rep -> {pps/1e6:6.2f}M pairs/s"
-                f"  (minus RTT: {Q*K/dev/1e6:6.2f}M)"
+                f"Q={Q:6d} {tag:17s}: {dt*1e3:7.1f} ms/rep -> {pps/1e6:6.2f}M pairs/s"
+                f"  (minus RTT: {Q*K/dev/1e6:6.2f}M)", flush=True
             )
 
 

@@ -273,6 +273,100 @@ def run_ops(args, key):
 
 
 # ---------------------------------------------------------------------------
+# attn part: isolated attention-core benches (the unexplained stage cost)
+# ---------------------------------------------------------------------------
+#
+# The prefix closure leaves ~14 ms/block at stage 0 unattributed after the
+# measured sub-ops — the windowed attention core (einsum+bias+softmax+einsum
+# at (B*nW, H, 49, hd=32)) is the suspect.  Every operand lane-pads badly on
+# the (8/16, 128) tiled layouts: hd=32 -> 128 lanes (4x), T=49 -> 128 lanes
+# (2.6x) on the score/prob tensors.  Variants probe whether a layout
+# reformulation escapes the padding:
+#   core      model layout 'bhtd' (bias+softmax, narrow bf16)
+#   mask      + shifted-window mask add
+#   dT        d-on-sublane: q/k as 'bhdt/bhds' (lane dim = T)
+#   hbatch    heads folded into the batch dim: (Bw*H, T, d)
+#   f32s      scores pinned f32 (the non-narrow_sm path)
+
+
+def attn_core_case(rng, Bw, H, T, D, dtype, label, mode="core",
+                   with_mask=False, nW=16):
+    bias = jnp.asarray(rng.standard_normal((H, T, T)), jnp.float32)
+    mask = None
+    if with_mask:
+        m = rng.integers(0, 2, size=(nW, T, 1))
+        mask = jnp.asarray(
+            np.where(m == m.transpose(0, 2, 1), 0.0, -100.0), jnp.float32)
+    scale = D ** -0.5
+    # generate the ~115 MB qkv operand ON DEVICE — an eager host transfer
+    # here costs ~2.5 s/case on the 50 MB/s tunnel (first run of this part
+    # spent 18 min shipping cases before the first compile)
+    qkv = jax.jit(
+        lambda key: jax.random.normal(key, (3, Bw, H, T, D), dtype)
+    )(jax.random.PRNGKey(int(rng.integers(1 << 30))))
+
+    def fn(c):
+        q, k, v = c[0], c[1], c[2]
+        if mode == "dT":
+            qT = q.transpose(0, 1, 3, 2)  # (Bw, H, D, T)
+            kT = k.transpose(0, 1, 3, 2)
+            attn = jnp.einsum("bhdt,bhds->bhts", qT, kT) * scale
+        elif mode == "hbatch":
+            qf = q.reshape(Bw * H, T, D)
+            kf = k.reshape(Bw * H, T, D)
+            attn = (jnp.einsum("btd,bsd->bts", qf, kf) * scale).reshape(
+                Bw, H, T, T)
+        else:
+            pet = jnp.float32 if mode == "f32s" else None
+            attn = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                              preferred_element_type=pet) * scale
+        attn = attn + bias[None].astype(attn.dtype)
+        if mask is not None:
+            attn = attn.reshape(Bw // nW, nW, H, T, T)
+            attn = attn + mask[None, :, None, :, :].astype(attn.dtype)
+            attn = attn.reshape(Bw, H, T, T)
+        attn = jax.nn.softmax(attn, axis=-1)
+        return jnp.einsum("bhts,bhsd->bhtd", attn.astype(v.dtype), v)
+
+    return label, fn, qkv
+
+
+def run_attn(args, key):
+    dtype = jnp.float32 if args.f32 else jnp.bfloat16
+    B, reps = args.bs, 24
+    rng = np.random.default_rng(0)
+    eps = jnp.float32(1e-6)
+    tiny = jnp.zeros((8, 128), jnp.float32)
+    rtt_c, _, _ = aot(lambda c: jnp.sum(c) * eps, tiny)
+    rtt = timed(rtt_c, tiny, reps=3, warmup=2)
+    print(f"(dispatch RTT floor: {rtt*1e3:.1f} ms — subtracted per call)",
+          flush=True)
+
+    geos = [("s0", B * 64, 3, 64), ("s1", B * 16, 6, 16),
+            ("s2", B * 4, 12, 4), ("s3", B, 24, 1)]
+    cases = []
+    for tag, Bw, H, nW in geos:
+        cases.append(attn_core_case(rng, Bw, H, 49, 32, dtype,
+                                    f"{tag}_attn_core({Bw},{H},49,32)"))
+        if nW > 1:
+            cases.append(attn_core_case(
+                rng, Bw, H, 49, 32, dtype,
+                f"{tag}_attn_mask({Bw},{H},49,32)", with_mask=True, nW=nW))
+    for mode in ("dT", "hbatch", "f32s"):
+        cases.append(attn_core_case(rng, B * 64, 3, 49, 32, dtype,
+                                    f"s0_attn_{mode}(4096,3,49,32)",
+                                    mode=mode))
+    print(f"\nattention-core fwd+bwd (chained x{reps}, per-rep ms; "
+          "x-blocks-equivalent shown per stage depth):", flush=True)
+    for label, fn, xx in cases:
+        run = chain_bwd(fn, reps)
+        compiled, tc, _ = aot(run, xx, eps)
+        t = max(timed(compiled, xx, eps, reps=2, warmup=1) - rtt, 0.0) / reps
+        print(f"  {label:<38} {t*1e3:7.3f} ms  (compile {tc:.0f}s)",
+              flush=True)
+
+
+# ---------------------------------------------------------------------------
 # flat / batch parts: full-backbone A/B
 # ---------------------------------------------------------------------------
 
@@ -353,6 +447,11 @@ def main():
             print("\n=== sub-op chained benches ===", flush=True)
             run_ops(args, key)
         guarded("ops", _ops)
+    if "attn" in args.parts:
+        def _attn():
+            print("\n=== attention-core benches ===", flush=True)
+            run_attn(args, key)
+        guarded("attn", _attn)
     if "batch" in args.parts:
         def _batch():
             print("\n=== batch scaling (base) ===", flush=True)

@@ -412,10 +412,24 @@ def convert_googlenet(state_dict: Mapping[str, Any]) -> Tuple[Dict, Dict]:
     head = "last_linear" if "last_linear.weight" in sd else (
         "fc" if "fc.weight" in sd else None
     )
-    if head:
+    if head and not _is_imagenet_head(sd, head):
         _set(params, ("last_linear", "kernel"), _dense_kernel(sd[f"{head}.weight"]))
         _set(params, ("last_linear", "bias"), _np(sd[f"{head}.bias"]))
     return params, stats
+
+
+def _is_imagenet_head(sd, head: str) -> bool:
+    """True when ``{head}.weight`` is the 1000-class ImageNet classifier,
+    which the reference REPLACES with a fresh embed head (googlenet.py:19,
+    bninception.py:14) — caught by the real-manifest audit (tests/
+    test_convert_manifests.py): mapping a (1000, C) classifier onto the
+    (C, embed_dim) head silently shipped garbage before.  The shape peek
+    uses ``dict.__getitem__`` so an audit's TrackedStateDict does not count
+    a skipped key as consumed (it lands in IGNORABLE_UNCONSUMED instead).
+    Limitation: a finetuned head with embed_dim exactly 1000 is
+    indistinguishable and will be skipped."""
+    w = dict.__getitem__(sd, f"{head}.weight")
+    return int(np.shape(_np(w))[0]) == 1000
 
 
 def convert_bninception(state_dict: Mapping[str, Any]) -> Tuple[Dict, Dict]:
@@ -447,6 +461,10 @@ def convert_bninception(state_dict: Mapping[str, Any]) -> Tuple[Dict, Dict]:
             continue
         layer, leaf = k.rsplit(".", 1)
         if layer in ("last_linear", "fc"):
+            # the pretrainedmodels ImageNet file ships a (1000, 1024)
+            # classifier here; the reference replaces it (bninception.py:14)
+            if _is_imagenet_head(sd, layer):
+                continue
             if leaf == "weight":
                 _set(params, ("last_linear", "kernel"), _dense_kernel(sd[k]))
             elif leaf == "bias":
@@ -511,6 +529,11 @@ IGNORABLE_UNCONSUMED = (
     "relative_position_index",   # swin index buffer (recomputed)
     "aux1.", "aux2.",            # googlenet aux classifiers (eval never runs)
     "pre_logits.",               # timm ViT representation layer (unused)
+    # pretrainedmodels' (1000, C) ImageNet classifier under this name is
+    # skipped by _is_imagenet_head (the reference replaces it with a fresh
+    # embed head); a FINETUNED head (embed_dim-out) under the same name IS
+    # consumed — see tests/test_convert_legacy.py oracles
+    "last_linear.",
 )
 
 

@@ -279,6 +279,10 @@ class MSLSSubcachePool:
         def load_key(key):
             if normalized:
                 return np.asarray(dataset._load_key(key), np.float32)
+            if hasattr(dataset, "load_key_uint8"):
+                # non-file datasets can supply raw uint8 frames directly
+                # (production-geometry stress pools, scripts/stress_msls_train.py)
+                return dataset.load_key_uint8(key)
             # uint8 store at the transform's geometry; device normalizes
             from PIL import Image
 
