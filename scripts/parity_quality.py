@@ -91,6 +91,10 @@ def run_one(arch, tag, flags, env_extra, args, seed):
              for m in EVAL_RE.finditer(proc.stdout)]
     print(f"--- exit 0 ({time.time()-t0:.0f}s, {len(evals)} evals) ---",
           flush=True)
+    # single-tenant chip: give the TPU server time to fully release the
+    # previous client before the next attaches (CLAUDE.md: a process
+    # launched while the previous one is dying wedges at first compile)
+    time.sleep(45)
     return evals
 
 
