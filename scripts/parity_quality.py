@@ -5,20 +5,29 @@ The r4 parity instrument (8 classes x 16 images) saturated at R@1=100 for
 every config, so the bf16 / narrow_sm / kv-resident default flips were
 justified by a metric that could not discriminate.  This harness re-runs the
 default recipes against their f32 counterparts on the HARD synthetic
-protocol (64 classes x 8 images, --synthetic_sep 0.2: fine-grained class
-offsets around one shared prototype + gain/shift nuisance — raw-pixel kNN
-R@1 ~30%, data/datasets.py::SyntheticDataset) where trajectory divergences
-show up in R@1/RP/MAP@R instead of pinning at 100.
+protocol (64 classes x 8 images with the gain/shift nuisance,
+data/datasets.py::SyntheticDataset) where trajectory divergences show up in
+R@1/RP/MAP@R instead of pinning at 100.
 
-Protocol per arch: train N epochs with --evalevery 1 via the REAL CLI entry
+Operating point (calibrated on the chip, resnet50 12 epochs lr 1e-3 —
+test_results/parity_quality_r5.log preamble): difficulty is governed by two
+coupled knobs — sep scales the inter-class signal linearly, and ANY
+sep != 1.0 additionally switches on the per-image gain/shift nuisance.  The
+cliff is sharp: sep 1.0 -> R@1 100 (saturated), 0.6 -> ~8 (chance-ish),
+0.2 -> ~2; lr 1e-4 never leaves chance at ANY sep in this step budget (64
+classes need lr 1e-3 from scratch).  The shipped default lands mid-range.
+
+Protocol per arch: train N epochs with --evalevery 2 via the REAL CLI entry
 point (subprocess), parse every eval line, compare f32 vs the shipping
 default (bf16+narrow_sm where applicable, KV-resident attention for CvT).
-Verdict rule: BASELINE.md's +-0.2 tolerance applies to the FINAL epoch's
-R@1 with a +-2.0 allowance on this 512-image protocol (one flipped rank =
-0.195); anything beyond that flags the default for reversion.
+Verdict rule: the calibration showed epoch-to-epoch R@1 swings of ~+-5 at
+the operating point (and +-15 at easier ones) — a single final-epoch delta
+is noise — so configs are compared on the MEAN OF THE LAST 3 EVALS, flagged
+for reversion when |delta| exceeds the 5-point epoch-swing band.  The full
+trajectories are printed so the table can be audited.
 
 Usage: python scripts/parity_quality.py [--arches cvt vit swin resnet]
-         [--epochs 4] [--sep 0.2] [--seeds 0] [--tune]
+         [--epochs 12] [--sep ...] [--seeds 0] [--tune]
   --tune: single resnet run per sep value to pick the operating point.
 
 Reference match: metric protocol evaluation/metrics.py:26-45; canonical
@@ -65,12 +74,13 @@ def run_one(arch, tag, flags, env_extra, args, seed):
         "--synthetic_per_class", str(args.per_class),
         "--synthetic_size", "224",
         "--synthetic_sep", str(args.sep),
+        "--synthetic_nuisance", str(args.nuisance),
         "--bs", str(args.bs),
         "--arch", ARCH_NAMES[arch],
         "--loss", "margin", "--batch_mining", "distance",
-        "--n_epochs", str(args.epochs), "--evalevery", "1",
+        "--n_epochs", str(args.epochs), "--evalevery", "2",
         "--max_patience", "99",
-        "--seed", str(seed), "--lr", "0.0001",
+        "--seed", str(seed), "--lr", str(args.lr),
         "--save_path", f"/tmp/parity_quality/{group}",
         "--group", group,
     ] + flags
@@ -107,22 +117,24 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arches", nargs="+",
                     default=["resnet", "cvt", "vit", "swin"])
-    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--classes", type=int, default=64)
     ap.add_argument("--per_class", type=int, default=8)
     ap.add_argument("--bs", type=int, default=32)
-    ap.add_argument("--sep", type=float, default=0.2)
+    ap.add_argument("--lr", type=float, default=0.001)
+    ap.add_argument("--sep", type=float, default=0.9)
+    ap.add_argument("--nuisance", type=float, default=0.5)
     ap.add_argument("--seeds", nargs="+", type=int, default=[0])
     ap.add_argument("--tune", action="store_true",
                     help="resnet-only sweep over sep values")
     args = ap.parse_args()
 
     if args.tune:
-        for sep in (0.3, 0.2, 0.15):
-            a = argparse.Namespace(**{**vars(args), "sep": sep})
-            evs = run_one("resnet", f"tune{sep}", [], {}, a, 0)
-            print(f"sep={sep}: " + " | ".join(fmt(e) for e in (evs or [])),
-                  flush=True)
+        for nui in (0.6, 0.5, 0.4):
+            a = argparse.Namespace(**{**vars(args), "nuisance": nui})
+            evs = run_one("resnet", f"tune{nui}", [], {}, a, 0)
+            print(f"nuisance={nui}: "
+                  + " | ".join(fmt(e) for e in (evs or [])), flush=True)
         return
 
     results = {}
@@ -141,7 +153,12 @@ def main():
             continue
         line = " | ".join(fmt(e) for e in evs)
         print(f"{arch:8s} {tag:14s} s{seed}: {line}")
-    print("\nfinal-epoch deltas vs f32 (positive = default better):")
+    def tail_mean(evs, k="r1", n=3):
+        vals = [e[k] for e in evs[-n:]]
+        return sum(vals) / len(vals)
+
+    print("\nlast-3-eval-mean deltas vs f32 (positive = default better; "
+          "flag beyond the +-5 epoch-swing band):")
     for arch in args.arches:
         for seed in args.seeds:
             base = results.get((arch, "f32", seed))
@@ -152,8 +169,9 @@ def main():
                 other = results.get((arch, tag, seed))
                 if not other:
                     continue
-                d = {k: other[-1][k] - base[-1][k] for k in base[-1]}
-                flag = " <-- REVIEW" if abs(d["r1"]) > 2.0 else ""
+                d = {k: tail_mean(other, k) - tail_mean(base, k)
+                     for k in base[-1]}
+                flag = " <-- REVIEW" if abs(d["r1"]) > 5.0 else ""
                 print(f"  {arch:8s} {tag:14s} s{seed}: "
                       + " ".join(f"d{k}={v:+.2f}" for k, v in d.items())
                       + flag)

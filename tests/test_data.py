@@ -69,8 +69,41 @@ def test_synthetic_hard_mode():
     assert hard < easy - 0.2
     # hard-mode flags ride opt -> select
     splits = data.select("synthetic", opt(synthetic_sep=0.2,
-                                          synthetic_noise=0.5))
+                                          synthetic_noise=0.5,
+                                          synthetic_nuisance=0.4))
     assert splits["training"].sep == 0.2 and splits["training"].noise == 0.5
+    assert splits["training"].nuisance == 0.4
+
+
+def test_synthetic_nuisance_scale():
+    """``nuisance`` scales ONLY the gain/shift amplitudes: same RNG draws,
+    so nuisance=0 at sep<1 equals the un-nuisanced image exactly, and
+    intermediate scales interpolate the affine corruption (the knob that
+    sets the quality-parity operating point — chip calibration showed
+    full-strength nuisance cliffs training to ~chance at any sep)."""
+    from vit_reranking_tpu.data.datasets import SyntheticDataset
+
+    k = dict(n_classes=4, per_class=4, size=32, seed=5, sep=0.7)
+    full = SyntheticDataset(**k, nuisance=1.0)
+    half = SyntheticDataset(**k, nuisance=0.5)
+    off = SyntheticDataset(**k, nuisance=0.0)
+
+    # reconstruct the clean (pre-nuisance) image from the off=0 dataset
+    clean = off.load_image(2)
+    a_full = np.abs(full.load_image(2) - clean).mean()
+    a_half = np.abs(half.load_image(2) - clean).mean()
+    assert a_full > a_half > 0  # corruption grows with the scale
+    # the affine is exact: full = gain*clean + shift with the same draws,
+    # so (full - clean) and (half - clean) are colinear per channel
+    d_full = (full.load_image(2) - clean).reshape(-1, 3)
+    d_half = (half.load_image(2) - clean).reshape(-1, 3)
+    # gain_h - 1 = (gain_f - 1)/2, shift_h = shift_f/2 on identical draws
+    np.testing.assert_allclose(d_half * 2.0, d_full, rtol=1e-4, atol=1e-4)
+    # sep=1.0 legacy stream untouched by the new knob
+    np.testing.assert_array_equal(
+        SyntheticDataset(4, 4, 32, seed=3).load_image(1),
+        SyntheticDataset(4, 4, 32, seed=3, nuisance=0.3).load_image(1),
+    )
 
 
 def test_class_random_sampler_spc():

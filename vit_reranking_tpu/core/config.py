@@ -227,6 +227,11 @@ class Config:
     # (data/datasets.py::SyntheticDataset, VERDICT r4 item 3)
     synthetic_sep: float = 1.0
     synthetic_noise: float = 0.35
+    # gain/shift nuisance amplitude scale (active when sep != 1.0).  The
+    # full-strength nuisance (1.0) cliffs from-scratch training straight to
+    # ~chance at ANY sep in a short step budget; ~0.5 lands the mid-range
+    # operating point the quality-parity runs use.
+    synthetic_nuisance: float = 1.0
     use_qk: bool = False  # ViT attention-marginal rerank (eval_attn_diml path)
     # dormant reference variants, exposed behind flags (VERDICT r2 item 9):
     # per-head OT with max-over-heads scoring (utilities/diml.py:424-472 —

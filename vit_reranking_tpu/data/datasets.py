@@ -67,11 +67,18 @@ class SyntheticDataset(ImageDataset):
     drawn when sep != 1, leaving the prototype RNG stream untouched)."""
 
     def __init__(self, n_classes=8, per_class=16, size=224, seed=0, train=True,
-                 sep=1.0, noise=0.35):
+                 sep=1.0, noise=0.35, nuisance=1.0):
         self.size = size
         self.seed = seed
         self.sep = float(sep)
         self.noise = float(noise)
+        # scale of the gain/shift nuisance (active whenever sep != 1.0):
+        # calibration on the chip showed nuisance=1.0 cliffs from-scratch
+        # training from R@1 100 (sep=1.0, nuisance off) straight to ~10
+        # regardless of sep — the affine invariance, not the class overlap,
+        # is the hard part.  A sub-1 scale sets the mid-range operating
+        # point the quality-parity runs need (VERDICT r4 item 3).
+        self.nuisance = float(nuisance)
         image_list = [
             (None, c) for c in range(n_classes) for _ in range(per_class)
         ]
@@ -92,8 +99,8 @@ class SyntheticDataset(ImageDataset):
         if self.sep != 1.0:
             # per-image global gain/shift nuisance: shared across classes, so
             # it carries no label signal but dominates naive color statistics
-            gain = 1.0 + 0.25 * rng.standard_normal()
-            shift = 0.3 * rng.standard_normal((1, 1, 3))
+            gain = 1.0 + 0.25 * self.nuisance * rng.standard_normal()
+            shift = 0.3 * self.nuisance * rng.standard_normal((1, 1, 3))
             img = gain * img + shift.astype(np.float32)
         return img.astype(np.float32)
 
@@ -158,9 +165,13 @@ def select(name: str, opt, source_path: Optional[str] = None):
         size = getattr(opt, "synthetic_size", 224)
         sep = getattr(opt, "synthetic_sep", 1.0)
         noise = getattr(opt, "synthetic_noise", 0.35)
-        train = SyntheticDataset(n_cls, per, size, seed=seed, sep=sep, noise=noise)
-        test = SyntheticDataset(n_cls, per, size, seed=seed + 1, sep=sep, noise=noise)
-        ev = SyntheticDataset(n_cls, per, size, seed=seed, sep=sep, noise=noise)
+        nui = getattr(opt, "synthetic_nuisance", 1.0)
+        train = SyntheticDataset(n_cls, per, size, seed=seed, sep=sep,
+                                 noise=noise, nuisance=nui)
+        test = SyntheticDataset(n_cls, per, size, seed=seed + 1, sep=sep,
+                                noise=noise, nuisance=nui)
+        ev = SyntheticDataset(n_cls, per, size, seed=seed, sep=sep,
+                              noise=noise, nuisance=nui)
     else:
         if name == "cub200":
             tr, te = _cub200_lists(source_path)
