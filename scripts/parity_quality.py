@@ -103,8 +103,9 @@ def run_one(arch, tag, flags, env_extra, args, seed):
           flush=True)
     # single-tenant chip: give the TPU server time to fully release the
     # previous client before the next attaches (CLAUDE.md: a process
-    # launched while the previous one is dying wedges at first compile)
-    time.sleep(45)
+    # launched while the previous one is dying wedges at first compile;
+    # a 45 s gap still wedged once in r5 — use the full 90)
+    time.sleep(90)
     return evals
 
 
